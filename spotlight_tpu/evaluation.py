@@ -1,0 +1,295 @@
+"""Ranking and rating evaluation metrics.
+
+TPU-native equivalent of `/root/reference/spotlight/evaluation.py:9,59,105,
+154,223`.  The reference loops user-by-user in Python, scoring the full
+catalog per user and ranking with ``scipy.stats.rankdata``
+(`evaluation.py:42-55`) — the #2 hot loop after training.  Here users are
+processed in device batches:
+
+- scoring a batch of users against the whole catalog is one
+  ``(batch, dim) x (dim, num_items)`` MXU matmul,
+- ranks come from an on-device sort + two ``searchsorted`` passes, which
+  reproduces ``rankdata``'s *average-rank tie handling* exactly:
+  ``rank = count(score > s) + (count(score == s) + 1) / 2``,
+- seen-item masking scatters ``-FLOAT_MAX`` into the score matrix, matching
+  the reference's ``predictions[train_indices] = FLOAT_MAX`` on negated
+  predictions (`evaluation.py:50`).
+
+All metric functions accept any model exposing the estimator protocol
+(``predict``); models from this package additionally expose batched catalog
+scorers which the metrics use automatically for the fast path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FLOAT_MAX = np.finfo(np.float32).max
+
+
+def _padded_rows(csr_matrix, users, pad_value=-1):
+    """Extract each user's column indices into a dense padded matrix."""
+    rows = [csr_matrix.indices[csr_matrix.indptr[u]:csr_matrix.indptr[u + 1]]
+            for u in users]
+    width = max((len(r) for r in rows), default=1)
+    width = max(width, 1)
+    out = np.full((len(users), width), pad_value, dtype=np.int64)
+    for i, r in enumerate(rows):
+        out[i, :len(r)] = r
+    return out
+
+
+def _mask_scores(scores, mask_indices):
+    """Set ``scores[i, mask_indices[i, :]]`` to -FLOAT_MAX; index -1 pads."""
+    num_items = scores.shape[1]
+    safe = jnp.where(mask_indices < 0, num_items, mask_indices)
+    padded = jnp.concatenate(
+        [scores, jnp.zeros_like(scores[:, :1])], axis=1)
+    masked = jax.vmap(
+        lambda row, idx: row.at[idx].set(-FLOAT_MAX))(padded, safe)
+    return masked[:, :num_items]
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _reciprocal_ranks(scores, targets, target_mask):
+    """Mean reciprocal (average-tie) rank of target items per row.
+
+    scores : (B, N) float; targets : (B, T) int (may contain pads);
+    target_mask : (B, T) bool for real targets.
+    """
+    sorted_scores = jnp.sort(scores, axis=1)  # ascending
+    target_scores = jnp.take_along_axis(
+        scores, jnp.clip(targets, 0, scores.shape[1] - 1), axis=1)
+
+    right = jax.vmap(
+        lambda ss, ts: jnp.searchsorted(ss, ts, side='right'))(
+            sorted_scores, target_scores)
+    left = jax.vmap(
+        lambda ss, ts: jnp.searchsorted(ss, ts, side='left'))(
+            sorted_scores, target_scores)
+
+    num_items = scores.shape[1]
+    count_greater = num_items - right
+    count_equal = right - left
+    ranks = count_greater + (count_equal + 1) * 0.5
+
+    rr = jnp.where(target_mask, 1.0 / ranks, 0.0)
+    denom = jnp.maximum(target_mask.sum(axis=1), 1)
+    return rr.sum(axis=1) / denom
+
+
+def _batched(users_or_rows, batch_size):
+    n = len(users_or_rows)
+    for start in range(0, n, batch_size):
+        yield users_or_rows[start:start + batch_size]
+
+
+def _pad_batch(array, batch_size):
+    """Pad the leading axis up to batch_size (repeat-last padding)."""
+    n = array.shape[0]
+    if n == batch_size:
+        return array, n
+    reps = np.repeat(array[-1:], batch_size - n, axis=0)
+    return np.concatenate([array, reps], axis=0), n
+
+
+def _score_user_batch(model, user_batch):
+    """(B, num_items) scores for a batch of user ids via the model's batched
+    catalog scorer, falling back to per-user ``predict``."""
+    fn = getattr(model, '_score_catalog_fn', None)
+    if fn is not None:
+        return np.asarray(fn(model._params,
+                             jnp.asarray(user_batch, dtype=jnp.int32)))
+    return np.stack([model.predict(int(u)) for u in user_batch])
+
+
+def mrr_score(model, test, train=None, batch_size=256):
+    """Mean reciprocal rank: one score per user with test interactions,
+    the mean reciprocal (average-tie) rank of that user's test items.
+
+    Parameters
+    ----------
+    model : fitted recommender
+    test : :class:`~spotlight_tpu.data.interactions.Interactions`
+    train : Interactions, optional
+        If supplied, scores of train interactions are pushed below every
+        other item and so do not affect the MRR.
+    batch_size : int, optional
+        Number of users scored per device step.
+
+    Returns
+    -------
+    np.ndarray of shape (num_users_with_test_items,)
+    """
+    test_csr = test.tocsr()
+    train_csr = train.tocsr() if train is not None else None
+
+    users = np.where(np.diff(test_csr.indptr) > 0)[0]
+    targets = _padded_rows(test_csr, users)
+    train_rows = (_padded_rows(train_csr, users)
+                  if train_csr is not None else None)
+
+    mrrs = []
+    for start in range(0, len(users), batch_size):
+        u = users[start:start + batch_size]
+        t = targets[start:start + batch_size]
+        scores = jnp.asarray(_score_user_batch(model, u))
+        if train_rows is not None:
+            scores = _mask_scores(
+                scores, jnp.asarray(train_rows[start:start + batch_size]))
+        rr = _reciprocal_ranks(scores, jnp.asarray(t),
+                               jnp.asarray(t) >= 0)
+        mrrs.append(np.asarray(rr))
+
+    return np.concatenate(mrrs) if mrrs else np.array([])
+
+
+def _sequence_final_scores(model, prefixes, exclude_preceding):
+    """(B, num_items) next-item scores for a batch of sequence prefixes."""
+    fn = getattr(model, '_score_catalog_sequences', None)
+    if fn is not None:
+        scores = np.asarray(fn(prefixes))
+    else:
+        scores = np.stack([model.predict(p) for p in prefixes])
+    if exclude_preceding:
+        scores = np.asarray(_mask_scores(
+            jnp.asarray(scores), jnp.asarray(prefixes.astype(np.int64))))
+    return scores
+
+
+def sequence_mrr_score(model, test, exclude_preceding=False, batch_size=256):
+    """MRR of each sequence's last element given all preceding elements.
+
+    Parameters
+    ----------
+    model : fitted sequence model
+    test : :class:`~spotlight_tpu.data.interactions.SequenceInteractions`
+    exclude_preceding : bool, optional
+        Push items already in the prefix below every other item.  (Note:
+        like the reference, `evaluation.py:95-96`, this also excludes the
+        padding id 0.)
+
+    Returns
+    -------
+    np.ndarray of shape (num_sequences,)
+    """
+    sequences = test.sequences[:, :-1]
+    targets = test.sequences[:, -1:]
+
+    mrrs = []
+    for start in range(0, len(sequences), batch_size):
+        prefix = sequences[start:start + batch_size]
+        t = targets[start:start + batch_size]
+        scores = _sequence_final_scores(model, prefix, exclude_preceding)
+        rr = _reciprocal_ranks(jnp.asarray(scores),
+                               jnp.asarray(t.astype(np.int64)),
+                               jnp.ones_like(t, dtype=bool))
+        mrrs.append(np.asarray(rr))
+
+    return np.concatenate(mrrs) if mrrs else np.array([])
+
+
+def _precision_recall_from_scores(scores, targets, target_mask, k_values):
+    """Precision@k / recall@k from a score matrix (device computation).
+
+    Top-k indices are taken in descending score order with ties broken by
+    item id, matching numpy's stable ``argsort`` on negated scores.
+    """
+    max_k = int(max(k_values))
+    _, top_items = jax.lax.top_k(scores, max_k)
+
+    # membership: (B, max_k) — is the j-th ranked item a test item?
+    hits = (top_items[:, :, None] ==
+            targets[:, None, :]) & target_mask[:, None, :]
+    hits = hits.any(axis=2).astype(jnp.float32)
+    cum_hits = jnp.cumsum(hits, axis=1)
+
+    num_targets = jnp.maximum(target_mask.sum(axis=1), 1)
+    precision = jnp.stack(
+        [cum_hits[:, k - 1] / k for k in k_values], axis=1)
+    recall = jnp.stack(
+        [cum_hits[:, k - 1] / num_targets for k in k_values], axis=1)
+    return precision, recall
+
+
+def precision_recall_score(model, test, train=None, k=10, batch_size=256):
+    """Precision@k and recall@k for every user with test interactions.
+
+    Parameters
+    ----------
+    k : int or array of int
+
+    Returns
+    -------
+    (precision, recall) : np.ndarrays of shape (num_users,) for scalar k,
+        (num_users, len(k)) for array k.
+    """
+    test_csr = test.tocsr()
+    train_csr = train.tocsr() if train is not None else None
+
+    scalar_k = np.isscalar(k)
+    k_values = tuple(np.atleast_1d(k).astype(int).tolist())
+
+    users = np.where(np.diff(test_csr.indptr) > 0)[0]
+    targets = _padded_rows(test_csr, users)
+    train_rows = (_padded_rows(train_csr, users)
+                  if train_csr is not None else None)
+
+    precisions, recalls = [], []
+    for start in range(0, len(users), batch_size):
+        u = users[start:start + batch_size]
+        t = jnp.asarray(targets[start:start + batch_size])
+        scores = jnp.asarray(_score_user_batch(model, u))
+        if train_rows is not None:
+            scores = _mask_scores(
+                scores, jnp.asarray(train_rows[start:start + batch_size]))
+        p, r = _precision_recall_from_scores(scores, t, t >= 0, k_values)
+        precisions.append(np.asarray(p))
+        recalls.append(np.asarray(r))
+
+    precision = np.concatenate(precisions) if precisions else np.empty((0, 1))
+    recall = np.concatenate(recalls) if recalls else np.empty((0, 1))
+    if scalar_k:
+        return precision[:, 0], recall[:, 0]
+    return precision, recall
+
+
+def sequence_precision_recall_score(model, test, k=10,
+                                    exclude_preceding=False, batch_size=256):
+    """Precision@k = recall@k of each sequence's last ``k`` elements given
+    all preceding elements.
+
+    Returns
+    -------
+    (precision, recall) : np.ndarrays of shape (num_sequences,)
+    """
+    sequences = test.sequences[:, :-k]
+    targets = test.sequences[:, -k:]
+
+    precisions, recalls = [], []
+    for start in range(0, len(sequences), batch_size):
+        prefix = sequences[start:start + batch_size]
+        t = jnp.asarray(targets[start:start + batch_size].astype(np.int64))
+        scores = _sequence_final_scores(model, prefix, exclude_preceding)
+        p, r = _precision_recall_from_scores(
+            jnp.asarray(scores), t, jnp.ones_like(t, dtype=bool), (k,))
+        precisions.append(np.asarray(p[:, 0]))
+        recalls.append(np.asarray(r[:, 0]))
+
+    return (np.concatenate(precisions) if precisions else np.array([]),
+            np.concatenate(recalls) if recalls else np.array([]))
+
+
+def rmse_score(model, test):
+    """Root mean squared error of rating predictions.
+
+    Returns
+    -------
+    float
+    """
+    predictions = model.predict(test.user_ids, test.item_ids)
+    return np.sqrt(((test.ratings - predictions) ** 2).mean())

@@ -1,0 +1,154 @@
+"""Shared plumbing for the factorization estimators.
+
+Covers what the reference spreads over
+`/root/reference/spotlight/factorization/explicit.py`,
+`implicit.py`, and `_components.py`: representation construction, input
+validation, prediction id broadcasting, and the jitted predict paths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spotlight_tpu.factorization.representations import BilinearNet
+from spotlight_tpu.utils import training
+
+
+def _repr_model(model):
+    net_representation = ('[uninitialised]' if model._net is None
+                          else repr(model._net))
+    return '<{}: {}>'.format(model.__class__.__name__, net_representation)
+
+
+class _FactorizationBase:
+    """State shared by the explicit and implicit factorization estimators."""
+
+    def __init__(self, embedding_dim, n_iter, batch_size, l2, learning_rate,
+                 optimizer_func, representation, sparse, random_state):
+        self._embedding_dim = embedding_dim
+        self._n_iter = n_iter
+        self._batch_size = batch_size
+        self._l2 = l2
+        self._learning_rate = learning_rate
+        self._optimizer_func = optimizer_func
+        self._representation = representation
+        self._sparse = sparse
+        self._random_state = random_state or np.random.RandomState()
+
+        self._num_users = None
+        self._num_items = None
+        self._net = None
+        self._params = None
+        self._opt_state = None
+        self._optimizer = None
+        self._key = training.key_from_random_state(self._random_state)
+
+    def __repr__(self):
+        return _repr_model(self)
+
+    @property
+    def _initialized(self):
+        return self._params is not None
+
+    def _next_key(self):
+        self._key, subkey = jax.random.split(self._key)
+        return subkey
+
+    def _initialize(self, interactions):
+        self._num_users = interactions.num_users
+        self._num_items = interactions.num_items
+
+        if self._representation is not None:
+            self._net = self._representation
+        else:
+            self._net = BilinearNet(self._num_users,
+                                    self._num_items,
+                                    self._embedding_dim,
+                                    sparse=self._sparse)
+
+        self._params = self._net.init(self._next_key())
+        self._optimizer = training.make_optimizer(
+            self._learning_rate, self._l2, self._optimizer_func)
+        self._opt_state = self._optimizer.init(self._params)
+
+    def _check_input(self, user_ids, item_ids, allow_items_none=False):
+        if isinstance(user_ids, (int, np.integer)):
+            user_id_max = user_ids
+        else:
+            user_id_max = user_ids.max()
+        if user_id_max >= self._num_users:
+            raise ValueError('Maximum user id greater '
+                             'than number of users in model.')
+
+        if allow_items_none and item_ids is None:
+            return
+
+        if isinstance(item_ids, (int, np.integer)):
+            item_id_max = item_ids
+        else:
+            item_id_max = item_ids.max()
+        if item_id_max >= self._num_items:
+            raise ValueError('Maximum item id greater '
+                             'than number of items in model.')
+
+    # -- jitted predict paths -------------------------------------------------
+
+    @functools.cached_property
+    def _predict_pairs_fn(self):
+        net = self._net
+
+        @jax.jit
+        def predict_pairs(params, user_ids, item_ids):
+            return net.apply(params, user_ids, item_ids)
+
+        return predict_pairs
+
+    @functools.cached_property
+    def _score_catalog_fn(self):
+        net = self._net
+
+        @jax.jit
+        def score_catalog(params, user_ids):
+            if hasattr(net, 'score_catalog'):
+                return net.score_catalog(params, user_ids)
+            # Generic fallback for injected representations that only
+            # implement pairwise scoring.
+            all_items = jnp.arange(self._num_items, dtype=jnp.int32)
+            return jax.vmap(
+                lambda u: net.apply(
+                    params, jnp.full_like(all_items, u), all_items)
+            )(user_ids)
+
+        return score_catalog
+
+    def _raw_predictions(self, user_ids, item_ids):
+        """Reference `_predict_process_ids` semantics
+        (`factorization/_components.py:8-25`) on the batched device paths."""
+        if item_ids is None and np.isscalar(user_ids):
+            scores = self._score_catalog_fn(
+                self._params, jnp.asarray([int(user_ids)], dtype=jnp.int32))
+            return np.asarray(scores).flatten()
+
+        if item_ids is None:
+            item_ids = np.arange(self._num_items, dtype=np.int32)
+        item_ids = np.atleast_1d(np.asarray(item_ids, dtype=np.int32)).ravel()
+        if np.isscalar(user_ids):
+            user_ids = np.full_like(item_ids, int(user_ids))
+        else:
+            user_ids = np.atleast_1d(
+                np.asarray(user_ids, dtype=np.int32)).ravel()
+            if len(user_ids) != len(item_ids):
+                user_ids = np.broadcast_to(user_ids, item_ids.shape)
+
+        # Pad pairs to a bucket size so jit caches a handful of shapes only.
+        n = len(item_ids)
+        bucket = max(256, 1 << (n - 1).bit_length())
+        users = training.pad_array(user_ids, bucket)
+        items = training.pad_array(item_ids, bucket)
+        out = self._predict_pairs_fn(self._params,
+                                     jnp.asarray(users), jnp.asarray(items))
+        return np.asarray(out)[:n].flatten()

@@ -1,0 +1,166 @@
+"""Implicit-feedback matrix factorization with on-device negative sampling.
+
+TPU-native equivalent of
+`/root/reference/spotlight/factorization/implicit.py:22`: classic MF trained
+through negative sampling with the ``pointwise`` / ``bpr`` / ``hinge`` /
+``adaptive_hinge`` ranking losses.
+
+The reference samples negatives on the host and pays a host-to-device copy
+per minibatch (`implicit.py:254-262`).  Here negatives are drawn with
+``jax.random.randint`` *inside* the jitted epoch scan — one key split per
+batch — so sampling fuses with the gathers and the whole epoch stays on
+device.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spotlight_tpu.factorization._base import _FactorizationBase
+from spotlight_tpu.ops.losses import (adaptive_hinge_loss, bpr_loss,
+                                      hinge_loss, pointwise_loss)
+from spotlight_tpu.ops.sampling import sample_items_device
+from spotlight_tpu.utils import training
+
+_LOSSES = {
+    'pointwise': pointwise_loss,
+    'bpr': bpr_loss,
+    'hinge': hinge_loss,
+    'adaptive_hinge': adaptive_hinge_loss,
+}
+
+
+class ImplicitFactorizationModel(_FactorizationBase):
+    """An implicit feedback matrix factorization model.
+
+    Parameters
+    ----------
+    loss : str, one of ('pointwise', 'bpr', 'hinge', 'adaptive_hinge')
+    embedding_dim : int, optional
+    n_iter : int, optional
+    batch_size : int, optional
+    l2 : float, optional
+    learning_rate : float, optional
+    optimizer_func : optax.GradientTransformation or callable, optional
+    representation : representation object, optional
+        Escape hatch (see :class:`ExplicitFactorizationModel`).
+    sparse : bool
+        API parity no-op.
+    random_state : np.random.RandomState, optional
+    num_negative_samples : int, optional
+        Number of negatives per positive for ``adaptive_hinge``.
+    """
+
+    def __init__(self,
+                 loss='pointwise',
+                 embedding_dim=32,
+                 n_iter=10,
+                 batch_size=256,
+                 l2=0.0,
+                 learning_rate=1e-2,
+                 optimizer_func=None,
+                 use_cuda=False,
+                 representation=None,
+                 sparse=False,
+                 random_state=None,
+                 num_negative_samples=5):
+        assert loss in ('pointwise', 'bpr', 'hinge', 'adaptive_hinge')
+        del use_cuda  # accepted for API parity; devices come from jax
+        super().__init__(embedding_dim, n_iter, batch_size, l2, learning_rate,
+                         optimizer_func, representation, sparse, random_state)
+        self._loss = loss
+        self._num_negative_samples = num_negative_samples
+        self._epoch_fn_cache = {}
+
+    def _epoch_fn(self, num_batches):
+        if num_batches in self._epoch_fn_cache:
+            return self._epoch_fn_cache[num_batches]
+
+        net = self._net
+        loss_func = _LOSSES[self._loss]
+        adaptive = self._loss == 'adaptive_hinge'
+        num_negatives = self._num_negative_samples
+        num_items = self._num_items
+        optimizer = self._optimizer
+        batch_size = self._batch_size
+
+        def batch_loss(params, batch, key):
+            users, items = batch['user_ids'], batch['item_ids']
+            positive = net.apply(params, users, items)
+
+            if adaptive:
+                negative_items = sample_items_device(
+                    key, num_items, (num_negatives,) + users.shape)
+                tiled_users = jnp.broadcast_to(users, negative_items.shape)
+                negative = net.apply(params, tiled_users, negative_items)
+            else:
+                negative_items = sample_items_device(
+                    key, num_items, users.shape)
+                negative = net.apply(params, users, negative_items)
+
+            return loss_func(positive, negative, mask=batch['mask'])
+
+        @jax.jit
+        def epoch_fn(params, opt_state, key, data):
+            return training.epoch_scan(params, opt_state, key, data,
+                                       num_batches, batch_size,
+                                       batch_loss, optimizer)
+
+        self._epoch_fn_cache[num_batches] = epoch_fn
+        return epoch_fn
+
+    def fit(self, interactions, verbose=False):
+        """Fit the model.
+
+        When called repeatedly, fitting resumes from the previous state.
+
+        Parameters
+        ----------
+        interactions : :class:`~spotlight_tpu.data.interactions.Interactions`
+        verbose : bool
+        """
+        user_ids = interactions.user_ids.astype(np.int32)
+        item_ids = interactions.item_ids.astype(np.int32)
+
+        if not self._initialized:
+            self._initialize(interactions)
+        self._check_input(user_ids, item_ids)
+
+        n = len(user_ids)
+        padded, num_batches = training.pad_to_batches(n, self._batch_size)
+        data = {
+            'user_ids': jnp.asarray(training.pad_array(user_ids, padded)),
+            'item_ids': jnp.asarray(training.pad_array(item_ids, padded)),
+            'mask': jnp.asarray(training.valid_mask(n, padded)),
+        }
+
+        epoch_fn = self._epoch_fn(num_batches)
+        for epoch_num in range(self._n_iter):
+            (self._params, self._opt_state, epoch_loss) = epoch_fn(
+                self._params, self._opt_state, self._next_key(), data)
+            epoch_loss = float(epoch_loss)
+
+            if verbose:
+                print('Epoch {}: loss {}'.format(epoch_num, epoch_loss))
+            training.check_degenerate(epoch_loss)
+
+        return self
+
+    def predict(self, user_ids, item_ids=None):
+        """Predict recommendation scores (see the reference docstring,
+        `factorization/implicit.py:277-311`).
+
+        Parameters
+        ----------
+        user_ids : int or array
+        item_ids : array, optional
+            If omitted, score the full catalog.
+
+        Returns
+        -------
+        np.ndarray of predicted scores
+        """
+        self._check_input(user_ids, item_ids, allow_items_none=True)
+        return self._raw_predictions(user_ids, item_ids)

@@ -1,0 +1,119 @@
+"""Latent representations for factorization models.
+
+TPU-native equivalent of
+`/root/reference/spotlight/factorization/representations.py:11`: the
+:class:`BilinearNet` scores a (user, item) pair as the dot product of their
+latent vectors plus per-user and per-item biases.
+
+The representation exposes two scoring paths:
+
+- :meth:`apply` — elementwise pair scoring (training path),
+- :meth:`score_catalog` — a batch of users against the *entire* item catalog
+  as one ``(batch, dim) @ (dim, num_items)`` matmul, the MXU-friendly fast
+  path behind batched evaluation (the reference instead loops user-by-user in
+  Python, `evaluation.py:42-52`).
+
+Any object with the same ``init/apply`` signature can be injected into the
+estimators via their ``representation=`` escape hatch, mirroring the
+reference's coupling rule (`factorization/implicit.py:63-67`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from spotlight_tpu.ops.embeddings import ScaledEmbedding, ZeroEmbedding
+
+
+@dataclasses.dataclass(frozen=True)
+class BilinearNet:
+    """Bilinear factorization representation.
+
+    Parameters
+    ----------
+    num_users : int
+    num_items : int
+    embedding_dim : int, optional
+    user_embedding_layer : embedding layer, optional
+        Custom user embedding layer (e.g. a
+        :class:`~spotlight_tpu.ops.embeddings.BloomEmbedding`).
+    item_embedding_layer : embedding layer, optional
+    sparse : bool
+        API-parity no-op (XLA embedding gradients are scatter-adds).
+    """
+
+    num_users: int
+    num_items: int
+    embedding_dim: int = 32
+    user_embedding_layer: Optional[object] = None
+    item_embedding_layer: Optional[object] = None
+    sparse: bool = False
+
+    def _layers(self):
+        user_embeddings = self.user_embedding_layer or ScaledEmbedding(
+            self.num_users, self.embedding_dim)
+        item_embeddings = self.item_embedding_layer or ScaledEmbedding(
+            self.num_items, self.embedding_dim)
+        user_biases = ZeroEmbedding(self.num_users, 1)
+        item_biases = ZeroEmbedding(self.num_items, 1)
+        return user_embeddings, item_embeddings, user_biases, item_biases
+
+    def init(self, key):
+        user_emb, item_emb, user_bias, item_bias = self._layers()
+        keys = jax.random.split(key, 4)
+        return {
+            'user_embeddings': user_emb.init(keys[0]),
+            'item_embeddings': item_emb.init(keys[1]),
+            'user_biases': user_bias.init(keys[2]),
+            'item_biases': item_bias.init(keys[3]),
+        }
+
+    def apply(self, params, user_ids, item_ids):
+        """Score (user, item) pairs elementwise.
+
+        ``user_ids`` and ``item_ids`` have the same shape; the result has
+        that shape too.
+        """
+        user_emb, item_emb, user_bias, item_bias = self._layers()
+
+        users = user_emb.apply(params['user_embeddings'], user_ids)
+        items = item_emb.apply(params['item_embeddings'], item_ids)
+        u_bias = user_bias.apply(params['user_biases'], user_ids)[..., 0]
+        i_bias = item_bias.apply(params['item_biases'], item_ids)[..., 0]
+
+        dot = jnp.sum(users * items, axis=-1)
+        return dot + u_bias + i_bias
+
+    def score_catalog(self, params, user_ids, item_matrix=None,
+                      item_bias_vector=None):
+        """Score a batch of users against the whole catalog on the MXU.
+
+        Parameters
+        ----------
+        user_ids : int array (batch,)
+        item_matrix : optional precomputed (num_items, dim) dense item table
+            (pass when the item embedding layer is hash-compressed and you
+            want to amortize the densification across calls).
+
+        Returns
+        -------
+        (batch, num_items) float array
+        """
+        user_emb, item_emb, user_bias, item_bias = self._layers()
+
+        if item_matrix is None:
+            all_items = jnp.arange(self.num_items, dtype=jnp.int32)
+            item_matrix = item_emb.apply(params['item_embeddings'], all_items)
+            item_bias_vector = item_bias.apply(
+                params['item_biases'], all_items)[..., 0]
+
+        users = user_emb.apply(params['user_embeddings'], user_ids)
+        u_bias = user_bias.apply(params['user_biases'], user_ids)[..., 0]
+
+        scores = jnp.dot(users, item_matrix.T,
+                         preferred_element_type=jnp.float32)
+        return scores + u_bias[:, None] + item_bias_vector[None, :]

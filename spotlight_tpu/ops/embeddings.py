@@ -1,0 +1,163 @@
+"""Embedding layers for recommender models.
+
+TPU-native equivalents of `/root/reference/spotlight/layers.py:23,40,59,74`:
+
+- :class:`ScaledEmbedding` — init N(0, 1/embedding_dim), optional frozen
+  all-zero padding row.
+- :class:`ZeroEmbedding` — zero-initialized (used for bias tables).
+- :class:`BloomEmbedding` — bloom-filter-style compressed table: each id is
+  hashed with ``num_hash_functions`` murmurhash seeds modulo the compressed
+  table size, and the hashed rows are gathered and summed.
+
+Layers are lightweight frozen dataclasses with a functional ``init(key) ->
+params`` / ``apply(params, ids) -> vectors`` interface; parameters are plain
+pytrees (dicts of jnp arrays), so they jit/grad/shard transparently.
+
+Design departures from the reference, for TPU:
+
+- **Padding semantics without table copies.** PyTorch's ``padding_idx`` keeps
+  one embedding row frozen at zero.  We reproduce this by *masking at lookup
+  time* (``where(ids == padding_idx, 0, table[ids])``): forward values match
+  and no gradient ever reaches the padding row, without re-zeroing (and hence
+  copying) the table every step.
+- **On-the-fly hashing.** The reference precomputes a
+  ``num_embeddings x num_hashes`` hash table on the host
+  (`layers.py:188-198`).  Here the murmurhash runs inside the jitted graph
+  (~12 integer ALU ops per hash, fused by XLA), so there is no hash table in
+  HBM at all — for a 5M-item catalog with 4 hashes that saves 80 MB of memory
+  and the associated gather.
+- ``sparse``/``bag`` flags are accepted for API parity but are no-ops: XLA
+  always turns embedding gradients into scatter-adds, which is exactly the
+  "sparse gradient" behaviour the reference's flag opts into.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from spotlight_tpu.ops.hashing import SEEDS, bloom_hash_jnp
+
+PADDING_IDX = 0
+
+
+def _masked_gather(weight, ids, padding_idx):
+    """Gather rows; entries where ``ids == padding_idx`` become zero vectors
+    and contribute no gradient to the padding row."""
+    vectors = weight[ids]
+    if padding_idx is not None:
+        vectors = jnp.where((ids == padding_idx)[..., None],
+                            jnp.zeros((), dtype=vectors.dtype), vectors)
+    return vectors
+
+
+@dataclasses.dataclass(frozen=True)
+class ScaledEmbedding:
+    """Embedding table initialized from N(0, 1/embedding_dim).
+
+    Parameters
+    ----------
+    num_embeddings : int
+    embedding_dim : int
+    padding_idx : int, optional
+        If set, that row is frozen at zero (see module docstring).
+    sparse : bool
+        Accepted for API parity; XLA gradients are scatter-adds regardless.
+    """
+
+    num_embeddings: int
+    embedding_dim: int
+    padding_idx: Optional[int] = None
+    sparse: bool = False
+
+    def init(self, key, dtype=jnp.float32):
+        weight = (jax.random.normal(
+            key, (self.num_embeddings, self.embedding_dim), dtype=dtype)
+            / self.embedding_dim)
+        if self.padding_idx is not None:
+            weight = weight.at[self.padding_idx].set(0.0)
+        return {'weight': weight}
+
+    def apply(self, params, ids):
+        return _masked_gather(params['weight'], ids, self.padding_idx)
+
+
+@dataclasses.dataclass(frozen=True)
+class ZeroEmbedding:
+    """Zero-initialized embedding table (used for bias terms)."""
+
+    num_embeddings: int
+    embedding_dim: int = 1
+    padding_idx: Optional[int] = None
+    sparse: bool = False
+
+    def init(self, key, dtype=jnp.float32):
+        del key
+        return {'weight': jnp.zeros(
+            (self.num_embeddings, self.embedding_dim), dtype=dtype)}
+
+    def apply(self, params, ids):
+        return _masked_gather(params['weight'], ids, self.padding_idx)
+
+
+@dataclasses.dataclass(frozen=True)
+class BloomEmbedding:
+    """Bloom-filter-compressed embedding table.
+
+    Each id is hashed with ``num_hash_functions`` murmurhash3 seeds (the
+    reference's fixed prime seeds, `layers.py:13-20`) modulo
+    ``int(compression_ratio * num_embeddings)`` rows; the hashed rows are
+    gathered and summed.  With good hashes, collisions are rare and large
+    catalogs train with far fewer parameters.
+
+    Follows Serra & Karatzoglou, "Getting deep recommenders fit: Bloom
+    embeddings for sparse binary input/output networks" (2017).
+
+    Row 0 of the compressed table is frozen at zero whenever
+    ``padding_idx`` is set: the padding id hashes to row 0 under every seed,
+    and any real id that collides into row 0 contributes a zero vector —
+    matching the reference's ``padding_idx=0`` underlying table exactly.
+    """
+
+    num_embeddings: int
+    embedding_dim: int
+    compression_ratio: float = 0.2
+    num_hash_functions: int = 4
+    padding_idx: Optional[int] = PADDING_IDX
+    bag: bool = False
+    sparse: bool = False
+
+    def __post_init__(self):
+        if self.num_hash_functions > len(SEEDS):
+            raise ValueError('Can use at most {} hash functions ({} requested)'
+                             .format(len(SEEDS), self.num_hash_functions))
+
+    @property
+    def compressed_num_embeddings(self):
+        return int(self.compression_ratio * self.num_embeddings)
+
+    def init(self, key, dtype=jnp.float32):
+        weight = (jax.random.normal(
+            key, (self.compressed_num_embeddings, self.embedding_dim),
+            dtype=dtype) / self.embedding_dim)
+        if self.padding_idx is not None:
+            weight = weight.at[0].set(0.0)
+        return {'weight': weight}
+
+    def hashed_rows(self, ids):
+        """Row indices of shape ``ids.shape + (num_hash_functions,)``."""
+        return bloom_hash_jnp(ids, self.num_hash_functions,
+                              self.compressed_num_embeddings,
+                              padding_idx=self.padding_idx)
+
+    def apply(self, params, ids):
+        rows = self.hashed_rows(ids)
+        vectors = params['weight'][rows]
+        if self.padding_idx is not None:
+            # Row 0 is the frozen padding row: zero contribution, no grad.
+            vectors = jnp.where((rows == 0)[..., None],
+                                jnp.zeros((), dtype=vectors.dtype), vectors)
+        return vectors.sum(axis=-2)

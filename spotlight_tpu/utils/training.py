@@ -1,0 +1,122 @@
+"""Shared training machinery for the sklearn-style estimators.
+
+The reference's training loop shuffles on the host, copies every minibatch to
+the device, and syncs the loss back per batch
+(`/root/reference/spotlight/factorization/implicit.py:210-248`).  The
+TPU-native loop here instead:
+
+- pads the dataset once to a whole number of minibatches (static shapes),
+- keeps it on device across epochs,
+- runs one *jitted epoch*: an on-device shuffle (``jax.random.permutation``)
+  followed by a ``lax.scan`` over minibatches, with negative sampling keys
+  split per batch inside the scan,
+- transfers a single scalar (the epoch loss) back per epoch, preserving the
+  reference's degenerate-loss guard semantics.
+
+Optimizers are optax transformations.  The default matches the reference's
+``optim.Adam(params, weight_decay=l2, lr=learning_rate)``: torch's Adam adds
+the decay term to the gradient *before* the moment updates, which corresponds
+to ``optax.chain(add_decayed_weights(l2), adam(lr))`` (not decoupled AdamW).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def make_optimizer(learning_rate, l2, optimizer_func=None):
+    """Build the optax optimizer.
+
+    ``optimizer_func`` mirrors the reference's escape hatch: it may be an
+    ``optax.GradientTransformation`` or a zero-argument callable returning
+    one; if supplied it overrides ``l2`` and ``learning_rate``.
+    """
+    if optimizer_func is not None:
+        if callable(optimizer_func) and not isinstance(
+                optimizer_func, optax.GradientTransformation):
+            return optimizer_func()
+        return optimizer_func
+    transforms = []
+    if l2:
+        transforms.append(optax.add_decayed_weights(l2))
+    transforms.append(optax.adam(learning_rate))
+    return optax.chain(*transforms)
+
+
+def key_from_random_state(random_state):
+    """Derive a jax PRNG key from a numpy RandomState (reference seeds torch
+    from the RandomState the same way, `implicit.py:115-116`)."""
+    return jax.random.PRNGKey(
+        int(random_state.randint(0, 2 ** 31 - 1)))
+
+
+def pad_to_batches(n, batch_size):
+    """Return (padded_length, num_batches) for a dataset of ``n`` rows."""
+    num_batches = -(-n // batch_size)
+    return num_batches * batch_size, num_batches
+
+
+def pad_array(array, padded_length):
+    """Pad the leading axis with zeros up to ``padded_length``."""
+    pad = padded_length - array.shape[0]
+    if pad == 0:
+        return array
+    pad_width = [(0, pad)] + [(0, 0)] * (array.ndim - 1)
+    return np.pad(array, pad_width)
+
+
+def valid_mask(n, padded_length):
+    mask = np.zeros(padded_length, dtype=np.float32)
+    mask[:n] = 1.0
+    return mask
+
+
+def epoch_scan(params, opt_state, key, data, num_batches, batch_size,
+               batch_loss_fn, optimizer):
+    """One full training epoch as a single traced computation.
+
+    Parameters
+    ----------
+    data : dict of arrays with leading axis ``num_batches * batch_size``
+        Must include every tensor the loss needs (and a ``'mask'`` entry).
+    batch_loss_fn : callable(params, batch_dict, key) -> scalar loss
+    optimizer : optax.GradientTransformation
+
+    Returns
+    -------
+    (params, opt_state, epoch_loss)
+    """
+    perm_key, negatives_key = jax.random.split(key)
+    padded_length = num_batches * batch_size
+
+    perm = jax.random.permutation(perm_key, padded_length)
+    shuffled = {name: value[perm] for name, value in data.items()}
+    batched = {
+        name: value.reshape((num_batches, batch_size) + value.shape[1:])
+        for name, value in shuffled.items()}
+    batch_keys = jax.random.split(negatives_key, num_batches)
+
+    grad_fn = jax.value_and_grad(batch_loss_fn)
+
+    def step(carry, batch_and_key):
+        params, opt_state = carry
+        batch, batch_key = batch_and_key
+        loss, grads = grad_fn(params, batch, batch_key)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), loss
+
+    (params, opt_state), losses = jax.lax.scan(
+        step, (params, opt_state), (batched, batch_keys))
+    return params, opt_state, jnp.mean(losses)
+
+
+def check_degenerate(epoch_loss):
+    """Raise on NaN or exactly-zero epoch loss, matching the reference guard
+    (`factorization/implicit.py:250-252`)."""
+    if np.isnan(epoch_loss) or epoch_loss == 0.0:
+        raise ValueError('Degenerate epoch loss: {}'.format(epoch_loss))
