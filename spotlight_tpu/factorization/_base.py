@@ -16,6 +16,7 @@ import numpy as np
 
 from spotlight_tpu.factorization.representations import BilinearNet
 from spotlight_tpu.utils import training
+from spotlight_tpu.utils.serialization import SerializableEstimatorMixin
 
 
 def _repr_model(model):
@@ -24,7 +25,7 @@ def _repr_model(model):
     return '<{}: {}>'.format(model.__class__.__name__, net_representation)
 
 
-class _FactorizationBase:
+class _FactorizationBase(SerializableEstimatorMixin):
     """State shared by the explicit and implicit factorization estimators."""
 
     def __init__(self, embedding_dim, n_iter, batch_size, l2, learning_rate,

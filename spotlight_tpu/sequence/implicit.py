@@ -1,0 +1,276 @@
+"""Implicit-feedback sequence model.
+
+TPU-native equivalent of `/root/reference/spotlight/sequence/implicit.py:25`:
+trains a sequence representation (pooling / CNN / LSTM / mixture) by scoring
+every timestep's target — the sequence itself shifted by the representation's
+causal alignment — against uniformly sampled negatives of the same shape, with
+the loss masked at padding positions.
+
+Execution is TPU-first: one jitted ``lax.scan`` per epoch over
+device-resident sequence minibatches, negatives drawn on device per batch,
+and batched full-catalog prediction for evaluation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spotlight_tpu.ops.losses import (adaptive_hinge_loss, bpr_loss,
+                                      hinge_loss, pointwise_loss)
+from spotlight_tpu.ops.sampling import sample_items_device
+from spotlight_tpu.sequence.representations import (PADDING_IDX, CNNNet,
+                                                    LSTMNet, MixtureLSTMNet,
+                                                    PoolNet)
+from spotlight_tpu.utils import training
+from spotlight_tpu.utils.serialization import SerializableEstimatorMixin
+
+_LOSSES = {
+    'pointwise': pointwise_loss,
+    'bpr': bpr_loss,
+    'hinge': hinge_loss,
+    'adaptive_hinge': adaptive_hinge_loss,
+}
+
+
+class ImplicitSequenceModel(SerializableEstimatorMixin):
+    """Model for sequential recommendations using implicit feedback.
+
+    During fitting, the loss is computed for every timestep of the supplied
+    sequences: for a row ``[1, 2, 3]``, it aggregates the loss of predicting
+    ``1`` from nothing, ``2`` from ``[1]``, and ``3`` from ``[1, 2]``.
+
+    Parameters
+    ----------
+    loss : str, one of ('pointwise', 'bpr', 'hinge', 'adaptive_hinge')
+    representation : str or representation instance
+        One of 'pooling', 'cnn', 'lstm', 'mixture', or any object following
+        the sequence-representation protocol (``init``,
+        ``user_representation``, ``score``, ``score_catalog``).
+    embedding_dim : int, optional
+    n_iter : int, optional
+    batch_size : int, optional
+    l2 : float, optional
+    learning_rate : float, optional
+    optimizer_func : optax.GradientTransformation or callable, optional
+    sparse : bool
+        API parity no-op.
+    random_state : np.random.RandomState, optional
+    num_negative_samples : int, optional
+        Negatives per positive for ``adaptive_hinge``.
+    """
+
+    def __init__(self,
+                 loss='pointwise',
+                 representation='pooling',
+                 embedding_dim=32,
+                 n_iter=10,
+                 batch_size=256,
+                 l2=0.0,
+                 learning_rate=1e-2,
+                 optimizer_func=None,
+                 use_cuda=False,
+                 sparse=False,
+                 random_state=None,
+                 num_negative_samples=5):
+        assert loss in ('pointwise', 'bpr', 'hinge', 'adaptive_hinge')
+        if isinstance(representation, str):
+            assert representation in ('pooling', 'cnn', 'lstm', 'mixture')
+        del use_cuda  # API parity; devices come from jax
+
+        self._loss = loss
+        self._representation = representation
+        self._embedding_dim = embedding_dim
+        self._n_iter = n_iter
+        self._batch_size = batch_size
+        self._l2 = l2
+        self._learning_rate = learning_rate
+        self._optimizer_func = optimizer_func
+        self._sparse = sparse
+        self._random_state = random_state or np.random.RandomState()
+        self._num_negative_samples = num_negative_samples
+
+        self._num_items = None
+        self._net = None
+        self._params = None
+        self._optimizer = None
+        self._opt_state = None
+        self._key = training.key_from_random_state(self._random_state)
+        self._epoch_fn_cache = {}
+
+    def __repr__(self):
+        net_representation = ('[uninitialised]' if self._net is None
+                              else repr(self._net))
+        return '<{}: {}>'.format(self.__class__.__name__, net_representation)
+
+    @property
+    def _initialized(self):
+        return self._params is not None
+
+    def _next_key(self):
+        self._key, subkey = jax.random.split(self._key)
+        return subkey
+
+    def _initialize(self, interactions):
+        self._num_items = interactions.num_items
+
+        if self._representation == 'pooling':
+            self._net = PoolNet(self._num_items, self._embedding_dim,
+                                sparse=self._sparse)
+        elif self._representation == 'cnn':
+            self._net = CNNNet(self._num_items, self._embedding_dim,
+                               sparse=self._sparse)
+        elif self._representation == 'lstm':
+            self._net = LSTMNet(self._num_items, self._embedding_dim,
+                                sparse=self._sparse)
+        elif self._representation == 'mixture':
+            self._net = MixtureLSTMNet(self._num_items, self._embedding_dim,
+                                       sparse=self._sparse)
+        else:
+            self._net = self._representation
+
+        self._params = self._net.init(self._next_key())
+        self._optimizer = training.make_optimizer(
+            self._learning_rate, self._l2, self._optimizer_func)
+        self._opt_state = self._optimizer.init(self._params)
+
+    def _check_input(self, item_ids):
+        if isinstance(item_ids, (int, np.integer)):
+            item_id_max = item_ids
+        else:
+            item_id_max = np.asarray(item_ids).max()
+        if item_id_max >= self._num_items:
+            raise ValueError('Maximum item id greater '
+                             'than number of items in model.')
+
+    def _epoch_fn(self, num_batches):
+        if num_batches in self._epoch_fn_cache:
+            return self._epoch_fn_cache[num_batches]
+
+        net = self._net
+        loss_func = _LOSSES[self._loss]
+        adaptive = self._loss == 'adaptive_hinge'
+        num_negatives = self._num_negative_samples
+        num_items = self._num_items
+        optimizer = self._optimizer
+        batch_size = self._batch_size
+
+        def batch_loss(params, batch, key):
+            sequences = batch['sequences']                  # (B, T)
+            user_representations, _ = net.user_representation(
+                params, sequences)
+            positive = net.score(params, user_representations, sequences)
+
+            if adaptive:
+                negative_items = sample_items_device(
+                    key, num_items,
+                    (num_negatives,) + sequences.shape)
+                negative = jax.vmap(
+                    lambda negs: net.score(
+                        params, user_representations, negs)
+                )(negative_items)                           # (n, B, T)
+            else:
+                negative_items = sample_items_device(
+                    key, num_items, sequences.shape)
+                negative = net.score(params, user_representations,
+                                     negative_items)
+
+            mask = ((sequences != PADDING_IDX) &
+                    (batch['mask'][:, None] > 0))
+            return loss_func(positive, negative, mask=mask)
+
+        @jax.jit
+        def epoch_fn(params, opt_state, key, data):
+            return training.epoch_scan(params, opt_state, key, data,
+                                       num_batches, batch_size,
+                                       batch_loss, optimizer)
+
+        self._epoch_fn_cache[num_batches] = epoch_fn
+        return epoch_fn
+
+    def fit(self, interactions, verbose=False):
+        """Fit the model.
+
+        When called repeatedly, fitting resumes from the previous state.
+
+        Parameters
+        ----------
+        interactions : :class:`~spotlight_tpu.data.interactions.SequenceInteractions`
+        verbose : bool
+        """
+        sequences = interactions.sequences.astype(np.int32)
+
+        if not self._initialized:
+            self._initialize(interactions)
+        self._check_input(sequences)
+
+        n = len(sequences)
+        padded, num_batches = training.pad_to_batches(n, self._batch_size)
+        data = {
+            'sequences': jnp.asarray(training.pad_array(sequences, padded)),
+            'mask': jnp.asarray(training.valid_mask(n, padded)),
+        }
+
+        epoch_fn = self._epoch_fn(num_batches)
+        for epoch_num in range(self._n_iter):
+            (self._params, self._opt_state, epoch_loss) = epoch_fn(
+                self._params, self._opt_state, self._next_key(), data)
+            epoch_loss = float(epoch_loss)
+
+            if verbose:
+                print('Epoch {}: loss {}'.format(epoch_num, epoch_loss))
+            training.check_degenerate(epoch_loss)
+
+        return self
+
+    # -- prediction -----------------------------------------------------------
+
+    @functools.cached_property
+    def _catalog_fn(self):
+        net = self._net
+
+        @jax.jit
+        def catalog_scores(params, sequences):
+            _, final = net.user_representation(params, sequences)
+            if final.ndim == 1:
+                final = final[None]
+            return net.score_catalog(params, final)
+
+        return catalog_scores
+
+    def _score_catalog_sequences(self, sequences):
+        """(B, num_items) next-item scores for a batch of sequences — the
+        batched-evaluation fast path."""
+        sequences = np.atleast_2d(np.asarray(sequences, dtype=np.int32))
+        n = sequences.shape[0]
+        bucket = max(32, 1 << (n - 1).bit_length())
+        padded = training.pad_array(sequences, bucket)
+        scores = self._catalog_fn(self._params, jnp.asarray(padded))
+        return np.asarray(scores)[:n]
+
+    def predict(self, sequences, item_ids=None):
+        """Predict next-item scores given a sequence of interactions.
+
+        Parameters
+        ----------
+        sequences : array of shape (max_sequence_length,)
+        item_ids : array, optional
+            Item ids to score; all items if omitted.
+
+        Returns
+        -------
+        np.ndarray of predicted scores
+        """
+        sequences = np.atleast_2d(np.asarray(sequences))
+        self._check_input(sequences)
+        if item_ids is not None:
+            self._check_input(item_ids)
+
+        scores = self._score_catalog_sequences(
+            sequences.astype(np.int32).reshape(1, -1)).flatten()
+        if item_ids is not None:
+            scores = scores[np.asarray(item_ids).flatten()]
+        return scores

@@ -1,0 +1,65 @@
+"""API-consistency contracts
+(reference: `/root/reference/tests/factorization/test_api.py:19-36`):
+``predict(uid)``, ``predict(uid, item_ids)``, and ``predict(uids, item_ids)``
+must agree elementwise."""
+
+import numpy as np
+import pytest
+
+from spotlight_tpu.factorization import (ExplicitFactorizationModel,
+                                         ImplicitFactorizationModel)
+
+from tests._fixtures import factorization_dataset
+
+
+@pytest.mark.parametrize('model_class', [
+    ImplicitFactorizationModel,
+    ExplicitFactorizationModel,
+])
+def test_predict_consistency(model_class):
+    interactions = factorization_dataset(
+        num_users=200, num_items=150, num_interactions=5000, explicit=True)
+
+    model = model_class(n_iter=1,
+                        random_state=np.random.RandomState(42))
+    model.fit(interactions)
+
+    for user_id in np.random.RandomState(0).randint(
+            0, interactions.num_users, size=5):
+        user_id = int(user_id)
+        user_ids = np.repeat(user_id, interactions.num_items)
+        item_ids = np.arange(interactions.num_items)
+
+        uid_predictions = model.predict(user_id)
+        iid_predictions = model.predict(user_id, item_ids)
+        pair_predictions = model.predict(user_ids, item_ids)
+
+        assert uid_predictions.shape == (interactions.num_items,)
+        np.testing.assert_allclose(uid_predictions, iid_predictions,
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(uid_predictions, pair_predictions,
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_sequence_predict_consistency():
+    from spotlight_tpu.sequence import ImplicitSequenceModel
+
+    from tests._fixtures import sequential_dataset
+
+    interactions = sequential_dataset(
+        num_users=50, num_items=60, num_interactions=2000,
+        concentration_parameter=0.1)
+    sequences = interactions.to_sequence(max_sequence_length=10)
+
+    model = ImplicitSequenceModel(
+        n_iter=1, random_state=np.random.RandomState(42))
+    model.fit(sequences)
+
+    seq = sequences.sequences[0]
+    all_scores = model.predict(seq)
+    assert all_scores.shape == (sequences.num_items,)
+
+    item_ids = np.array([1, 5, 7])
+    subset = model.predict(seq, item_ids=item_ids)
+    np.testing.assert_allclose(subset, all_scores[item_ids],
+                               rtol=1e-5, atol=1e-5)
