@@ -1,0 +1,129 @@
+"""Headline benchmark: implicit-MF training throughput, TPU vs CPU reference.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "examples/s/chip", "vs_baseline": N}``
+
+- ``value``: steady-state training examples/s of our jitted implicit-MF
+  epoch (BPR, on-device negative sampling) on the default jax platform
+  (the real TPU chip under the driver).
+- ``vs_baseline``: ratio against the *reference implementation itself*
+  (maciejkula/spotlight, torch-CPU, mounted at /root/reference) running the
+  same model configuration on the same machine.  The BASELINE.json target is
+  >=10x; the baseline number is cached in ``.bench_baseline.json`` keyed by
+  config so later rounds don't re-measure it.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Benchmark configuration (shared by both sides).
+NUM_USERS = 100_000
+NUM_ITEMS = 20_000
+NUM_INTERACTIONS = 1_000_000
+EMBEDDING_DIM = 64
+BATCH_SIZE = 8192
+LOSS = 'bpr'
+LEARNING_RATE = 1e-2
+
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              '.bench_baseline.json')
+CONFIG_KEY = 'implicit_mf_bpr_d{}_b{}_n{}'.format(
+    EMBEDDING_DIM, BATCH_SIZE, NUM_INTERACTIONS)
+
+
+def _make_data(n=NUM_INTERACTIONS):
+    rs = np.random.RandomState(42)
+    return (rs.randint(0, NUM_USERS, n).astype(np.int64),
+            rs.randint(0, NUM_ITEMS, n).astype(np.int64))
+
+
+def measure_ours():
+    from spotlight_tpu.data import Interactions
+    from spotlight_tpu.factorization import ImplicitFactorizationModel
+
+    user_ids, item_ids = _make_data()
+    interactions = Interactions(user_ids, item_ids,
+                                num_users=NUM_USERS, num_items=NUM_ITEMS)
+
+    model = ImplicitFactorizationModel(
+        loss=LOSS, embedding_dim=EMBEDDING_DIM, n_iter=1,
+        batch_size=BATCH_SIZE, learning_rate=LEARNING_RATE,
+        random_state=np.random.RandomState(42))
+
+    # Warm-up epoch includes compilation; measure the following epochs.
+    model.fit(interactions)
+    start = time.perf_counter()
+    epochs = 3
+    model._n_iter = epochs
+    model.fit(interactions)
+    elapsed = time.perf_counter() - start
+    return epochs * NUM_INTERACTIONS / elapsed
+
+
+def measure_reference():
+    """Run the actual reference package (torch CPU) on a subsample and
+    return examples/s.  Cached across rounds."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as fh:
+            cache = json.load(fh)
+        if CONFIG_KEY in cache:
+            return cache[CONFIG_KEY]
+
+    sys.path.insert(0, '/root/reference')
+    try:
+        from spotlight.factorization.implicit import (
+            ImplicitFactorizationModel as RefModel)
+        from spotlight.interactions import Interactions as RefInteractions
+    finally:
+        sys.path.pop(0)
+
+    # Subsample so the CPU measurement stays quick, then rate-normalize.
+    n = 200_000
+    user_ids, item_ids = _make_data(n)
+    interactions = RefInteractions(user_ids.astype(np.int32),
+                                   item_ids.astype(np.int32),
+                                   num_users=NUM_USERS,
+                                   num_items=NUM_ITEMS)
+    model = RefModel(loss=LOSS, embedding_dim=EMBEDDING_DIM, n_iter=1,
+                     batch_size=BATCH_SIZE, learning_rate=LEARNING_RATE,
+                     use_cuda=False,
+                     random_state=np.random.RandomState(42))
+    model.fit(interactions)  # warm-up (allocations, first epoch)
+    start = time.perf_counter()
+    model.fit(interactions)
+    elapsed = time.perf_counter() - start
+    rate = n / elapsed
+
+    cache = {}
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as fh:
+            cache = json.load(fh)
+    cache[CONFIG_KEY] = rate
+    with open(BASELINE_CACHE, 'w') as fh:
+        json.dump(cache, fh)
+    return rate
+
+
+def main():
+    ours = measure_ours()
+    try:
+        reference = measure_reference()
+    except Exception:
+        reference = None
+
+    result = {
+        'metric': 'implicit_mf_train_throughput',
+        'value': round(ours, 1),
+        'unit': 'examples/s/chip',
+        'vs_baseline': (round(ours / reference, 2)
+                        if reference else None),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

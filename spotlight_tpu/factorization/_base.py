@@ -29,7 +29,8 @@ class _FactorizationBase(SerializableEstimatorMixin):
     """State shared by the explicit and implicit factorization estimators."""
 
     def __init__(self, embedding_dim, n_iter, batch_size, l2, learning_rate,
-                 optimizer_func, representation, sparse, random_state):
+                 optimizer_func, representation, sparse, random_state,
+                 mesh=None):
         self._embedding_dim = embedding_dim
         self._n_iter = n_iter
         self._batch_size = batch_size
@@ -39,6 +40,7 @@ class _FactorizationBase(SerializableEstimatorMixin):
         self._representation = representation
         self._sparse = sparse
         self._random_state = random_state or np.random.RandomState()
+        self._mesh = mesh
 
         self._num_users = None
         self._num_items = None
@@ -46,7 +48,14 @@ class _FactorizationBase(SerializableEstimatorMixin):
         self._params = None
         self._opt_state = None
         self._optimizer = None
+        self._param_specs = None
+        self._opt_specs = None
         self._key = training.key_from_random_state(self._random_state)
+
+        if mesh is not None and batch_size % mesh.shape['data']:
+            raise ValueError(
+                'batch_size ({}) must be divisible by the data mesh axis '
+                'size ({})'.format(batch_size, mesh.shape['data']))
 
     def __repr__(self):
         return _repr_model(self)
@@ -71,10 +80,28 @@ class _FactorizationBase(SerializableEstimatorMixin):
                                     self._embedding_dim,
                                     sparse=self._sparse)
 
-        self._params = self._net.init(self._next_key())
         self._optimizer = training.make_optimizer(
             self._learning_rate, self._l2, self._optimizer_func)
-        self._opt_state = self._optimizer.init(self._params)
+
+        if self._mesh is not None:
+            from spotlight_tpu.parallel import sharding as psharding
+            from spotlight_tpu.parallel import training as ptraining
+
+            if hasattr(self._net, 'sharded'):
+                self._net = self._net.sharded(
+                    'model', self._mesh.shape['model'])
+            self._param_specs = self._net.param_specs()
+            self._params = psharding.shard_params(
+                self._net.init(self._next_key()), self._param_specs,
+                self._mesh)
+            self._opt_state = self._optimizer.init(self._params)
+            self._opt_specs = ptraining.opt_specs_like(
+                self._opt_state, self._params, self._param_specs)
+            self._opt_state = psharding.shard_params(
+                self._opt_state, self._opt_specs, self._mesh)
+        else:
+            self._params = self._net.init(self._next_key())
+            self._opt_state = self._optimizer.init(self._params)
 
     def _check_input(self, user_ids, item_ids, allow_items_none=False):
         if isinstance(user_ids, (int, np.integer)):

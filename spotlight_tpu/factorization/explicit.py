@@ -62,11 +62,13 @@ class ExplicitFactorizationModel(_FactorizationBase):
                  use_cuda=False,
                  representation=None,
                  sparse=False,
-                 random_state=None):
+                 random_state=None,
+                 mesh=None):
         assert loss in ('regression', 'poisson', 'logistic')
         del use_cuda  # accepted for API parity; devices come from jax
         super().__init__(embedding_dim, n_iter, batch_size, l2, learning_rate,
-                         optimizer_func, representation, sparse, random_state)
+                         optimizer_func, representation, sparse, random_state,
+                         mesh=mesh)
         self._loss = loss
         self._epoch_fn_cache = {}
 
@@ -80,21 +82,19 @@ class ExplicitFactorizationModel(_FactorizationBase):
         optimizer = self._optimizer
         batch_size = self._batch_size
 
-        def batch_loss(params, batch, key):
+        def elems_fn(params, batch, key):
             del key
             predictions = net.apply(params, batch['user_ids'],
                                     batch['item_ids'])
             if poisson:
                 predictions = jnp.exp(predictions)
-            return loss_func(batch['ratings'], predictions,
-                             mask=batch['mask'])
+            return (loss_func(batch['ratings'], predictions, reduce=False),
+                    batch['mask'])
 
-        @jax.jit
-        def epoch_fn(params, opt_state, key, data):
-            return training.epoch_scan(params, opt_state, key, data,
-                                       num_batches, batch_size,
-                                       batch_loss, optimizer)
-
+        epoch_fn = training.build_epoch_fn(
+            elems_fn, optimizer, num_batches, batch_size,
+            mesh=self._mesh, param_specs=self._param_specs,
+            opt_specs=self._opt_specs)
         self._epoch_fn_cache[num_batches] = epoch_fn
         return epoch_fn
 

@@ -65,11 +65,13 @@ class ImplicitFactorizationModel(_FactorizationBase):
                  representation=None,
                  sparse=False,
                  random_state=None,
-                 num_negative_samples=5):
+                 num_negative_samples=5,
+                 mesh=None):
         assert loss in ('pointwise', 'bpr', 'hinge', 'adaptive_hinge')
         del use_cuda  # accepted for API parity; devices come from jax
         super().__init__(embedding_dim, n_iter, batch_size, l2, learning_rate,
-                         optimizer_func, representation, sparse, random_state)
+                         optimizer_func, representation, sparse, random_state,
+                         mesh=mesh)
         self._loss = loss
         self._num_negative_samples = num_negative_samples
         self._epoch_fn_cache = {}
@@ -86,7 +88,7 @@ class ImplicitFactorizationModel(_FactorizationBase):
         optimizer = self._optimizer
         batch_size = self._batch_size
 
-        def batch_loss(params, batch, key):
+        def elems_fn(params, batch, key):
             users, items = batch['user_ids'], batch['item_ids']
             positive = net.apply(params, users, items)
 
@@ -100,14 +102,13 @@ class ImplicitFactorizationModel(_FactorizationBase):
                     key, num_items, users.shape)
                 negative = net.apply(params, users, negative_items)
 
-            return loss_func(positive, negative, mask=batch['mask'])
+            return (loss_func(positive, negative, reduce=False),
+                    batch['mask'])
 
-        @jax.jit
-        def epoch_fn(params, opt_state, key, data):
-            return training.epoch_scan(params, opt_state, key, data,
-                                       num_batches, batch_size,
-                                       batch_loss, optimizer)
-
+        epoch_fn = training.build_epoch_fn(
+            elems_fn, optimizer, num_batches, batch_size,
+            mesh=self._mesh, param_specs=self._param_specs,
+            opt_specs=self._opt_specs)
         self._epoch_fn_cache[num_batches] = epoch_fn
         return epoch_fn
 

@@ -52,15 +52,57 @@ class BilinearNet:
     user_embedding_layer: Optional[object] = None
     item_embedding_layer: Optional[object] = None
     sparse: bool = False
+    user_bias_layer: Optional[object] = None
+    item_bias_layer: Optional[object] = None
 
     def _layers(self):
         user_embeddings = self.user_embedding_layer or ScaledEmbedding(
             self.num_users, self.embedding_dim)
         item_embeddings = self.item_embedding_layer or ScaledEmbedding(
             self.num_items, self.embedding_dim)
-        user_biases = ZeroEmbedding(self.num_users, 1)
-        item_biases = ZeroEmbedding(self.num_items, 1)
+        user_biases = self.user_bias_layer or ZeroEmbedding(self.num_users, 1)
+        item_biases = self.item_bias_layer or ZeroEmbedding(self.num_items, 1)
         return user_embeddings, item_embeddings, user_biases, item_biases
+
+    def sharded(self, axis='model', num_shards=1):
+        """A variant of this representation with every dense embedding table
+        row-sharded over the given mesh axis.
+
+        Hash-compressed (bloom) layers are left unwrapped — they are small by
+        construction and stay replicated.
+        """
+        from spotlight_tpu.parallel.sharding import ShardedEmbedding
+
+        def wrap(layer):
+            if layer is None or not isinstance(
+                    layer, (ScaledEmbedding, ZeroEmbedding)):
+                return layer
+            return ShardedEmbedding(layer, axis=axis, num_shards=num_shards)
+
+        user_emb, item_emb, user_bias, item_bias = self._layers()
+        return dataclasses.replace(
+            self,
+            user_embedding_layer=wrap(user_emb),
+            item_embedding_layer=wrap(item_emb),
+            user_bias_layer=wrap(user_bias),
+            item_bias_layer=wrap(item_bias))
+
+    def param_specs(self):
+        """PartitionSpec tree matching :meth:`init`'s parameter tree."""
+        from jax.sharding import PartitionSpec as P
+
+        def spec(layer):
+            if hasattr(layer, 'spec'):
+                return layer.spec()
+            return {'weight': P()}
+
+        user_emb, item_emb, user_bias, item_bias = self._layers()
+        return {
+            'user_embeddings': spec(user_emb),
+            'item_embeddings': spec(item_emb),
+            'user_biases': spec(user_bias),
+            'item_biases': spec(item_bias),
+        }
 
     def init(self, key):
         user_emb, item_emb, user_bias, item_bias = self._layers()

@@ -22,7 +22,15 @@ import jax
 import jax.numpy as jnp
 
 
-def _masked_mean(loss, mask):
+def _masked_mean(loss, mask, reduce=True):
+    """Reference mask semantics: ``sum(loss * mask) / sum(mask)``.
+
+    With ``reduce=False`` the raw elementwise loss is returned (mask is
+    ignored); the distributed training engine reduces it itself so the mean's
+    denominator can be summed across data shards with a ``psum``.
+    """
+    if not reduce:
+        return loss
     if mask is not None:
         mask = mask.astype(loss.dtype)
         return jnp.sum(loss * mask) / jnp.maximum(jnp.sum(mask), 1.0)
@@ -33,33 +41,37 @@ def _sigmoid(x):
     return jax.nn.sigmoid(x)
 
 
-def pointwise_loss(positive_predictions, negative_predictions, mask=None):
+def pointwise_loss(positive_predictions, negative_predictions, mask=None,
+                   reduce=True):
     """Logistic pointwise loss.
 
     ``(1 - sigmoid(pos)) + sigmoid(neg)``, averaged (mask-aware).
     """
     positives_loss = 1.0 - _sigmoid(positive_predictions)
     negatives_loss = _sigmoid(negative_predictions)
-    return _masked_mean(positives_loss + negatives_loss, mask)
+    return _masked_mean(positives_loss + negatives_loss, mask, reduce)
 
 
-def bpr_loss(positive_predictions, negative_predictions, mask=None):
+def bpr_loss(positive_predictions, negative_predictions, mask=None,
+             reduce=True):
     """Bayesian Personalised Ranking pairwise loss (Rendle et al., 2009).
 
     ``1 - sigmoid(pos - neg)``, averaged (mask-aware).
     """
     loss = 1.0 - _sigmoid(positive_predictions - negative_predictions)
-    return _masked_mean(loss, mask)
+    return _masked_mean(loss, mask, reduce)
 
 
-def hinge_loss(positive_predictions, negative_predictions, mask=None):
+def hinge_loss(positive_predictions, negative_predictions, mask=None,
+               reduce=True):
     """Hinge pairwise loss: ``max(neg - pos + 1, 0)``, averaged (mask-aware)."""
     loss = jnp.clip(negative_predictions - positive_predictions + 1.0,
                     min=0.0)
-    return _masked_mean(loss, mask)
+    return _masked_mean(loss, mask, reduce)
 
 
-def adaptive_hinge_loss(positive_predictions, negative_predictions, mask=None):
+def adaptive_hinge_loss(positive_predictions, negative_predictions,
+                        mask=None, reduce=True):
     """Adaptive hinge loss (WARP approximation, Weston et al., 2011).
 
     ``negative_predictions`` has shape ``(num_negatives,) + pos.shape``; the
@@ -68,19 +80,22 @@ def adaptive_hinge_loss(positive_predictions, negative_predictions, mask=None):
     """
     highest_negative_predictions = jnp.max(negative_predictions, axis=0)
     return hinge_loss(positive_predictions, highest_negative_predictions,
-                      mask=mask)
+                      mask=mask, reduce=reduce)
 
 
-def regression_loss(observed_ratings, predicted_ratings, mask=None):
+def regression_loss(observed_ratings, predicted_ratings, mask=None,
+                    reduce=True):
     """Mean squared error regression loss.
 
     ``mask`` is an extension over the reference signature, used internally to
     exclude batch-padding entries; omitted, semantics match the reference.
     """
-    return _masked_mean((observed_ratings - predicted_ratings) ** 2, mask)
+    return _masked_mean((observed_ratings - predicted_ratings) ** 2, mask,
+                        reduce)
 
 
-def poisson_loss(observed_ratings, predicted_ratings, mask=None):
+def poisson_loss(observed_ratings, predicted_ratings, mask=None,
+                 reduce=True):
     """Poisson loss: ``mean(pred - observed * log(pred))``.
 
     ``predicted_ratings`` must already be positive (the estimators apply
@@ -88,10 +103,12 @@ def poisson_loss(observed_ratings, predicted_ratings, mask=None):
     `explicit.py:225-226`).
     """
     return _masked_mean(predicted_ratings -
-                        observed_ratings * jnp.log(predicted_ratings), mask)
+                        observed_ratings * jnp.log(predicted_ratings), mask,
+                        reduce)
 
 
-def logistic_loss(observed_ratings, predicted_ratings, mask=None):
+def logistic_loss(observed_ratings, predicted_ratings, mask=None,
+                  reduce=True):
     """Binary cross-entropy with logits on (-1, 1) targets.
 
     Targets are clamped from (-1, 1) to (0, 1) as in the reference
@@ -102,4 +119,4 @@ def logistic_loss(observed_ratings, predicted_ratings, mask=None):
     # max(x, 0) - x * t + log(1 + exp(-|x|))
     loss = (jnp.clip(x, min=0.0) - x * targets +
             jnp.log1p(jnp.exp(-jnp.abs(x))))
-    return _masked_mean(loss, mask)
+    return _masked_mean(loss, mask, reduce)

@@ -1,0 +1,115 @@
+"""Distributed training engine: one jitted epoch over a device mesh.
+
+Parallelism layout (the BASELINE.json north star):
+
+- the minibatch axis is sharded over ``'data'``;
+- embedding tables are row-sharded over ``'model'`` (lookups psum partial
+  rows, see :mod:`spotlight_tpu.parallel.sharding`); dense parameters are
+  replicated;
+- gradients take one ``psum`` over ``'data'``; table gradients stay local to
+  their owning model shard (the lookup's psum transposes to identity);
+- the masked-mean loss divides each shard's local loss sum by the *global*
+  mask count (``psum('data')``), so the distributed loss and gradients equal
+  the single-device ones exactly — which is how the 8-virtual-device CPU
+  tests assert correctness.
+
+The optimizer update runs inside ``shard_map``: Adam's elementwise moments
+act on local table shards directly, so optimizer state is sharded exactly
+like the parameters and no parameter ever needs to be materialized whole.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from jax import shard_map
+
+
+def opt_specs_like(opt_state, params, param_specs):
+    """Build a PartitionSpec tree for optimizer state by shape-matching
+    against the parameter spec tree.
+
+    Optimizer moments (Adam's mu/nu) have exactly the parameters' shapes and
+    inherit their specs; everything else (step counts, scalars) replicates.
+    Collisions are benign: two parameters with identical shapes are sharded
+    identically by construction (all tables shard over the same axis).
+    """
+    shape_to_spec = {}
+    for leaf, spec in zip(
+            jax.tree_util.tree_leaves(params),
+            jax.tree_util.tree_leaves(
+                param_specs, is_leaf=lambda x: isinstance(x, P))):
+        shape_to_spec[tuple(leaf.shape)] = spec
+
+    def spec_for(leaf):
+        return shape_to_spec.get(tuple(jnp.shape(leaf)), P())
+
+    return jax.tree_util.tree_map(spec_for, opt_state)
+
+
+def epoch_scan_distributed(params, opt_state, key, data, num_batches,
+                           batch_size, elems_fn, optimizer, mesh,
+                           param_specs, opt_specs):
+    """Distributed analogue of :func:`spotlight_tpu.utils.training.epoch_scan`.
+
+    Parameters
+    ----------
+    elems_fn : callable(params, batch, key) -> (elementwise_loss, mask)
+        Both outputs have identical shape; the engine performs the global
+        masked-mean reduction.
+    param_specs, opt_specs : PartitionSpec trees for params / opt state.
+    """
+    perm_key, negatives_key = jax.random.split(key)
+    padded_length = num_batches * batch_size
+
+    perm = jax.random.permutation(perm_key, padded_length)
+    shuffled = {name: value[perm] for name, value in data.items()}
+    batched = {
+        name: value.reshape((num_batches, batch_size) + value.shape[1:])
+        for name, value in shuffled.items()}
+    batch_keys = jax.random.split(negatives_key, num_batches)
+
+    batch_specs = {name: P('data') for name in data}
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(param_specs, opt_specs, batch_specs, P()),
+        out_specs=(param_specs, opt_specs, P()),
+        check_vma=True)
+    def sharded_step(params, opt_state, batch, batch_key):
+        # Distinct negative-sampling stream per data shard.
+        shard_key = jax.random.fold_in(
+            batch_key, jax.lax.axis_index('data'))
+
+        def local_loss(params):
+            elems, mask = elems_fn(params, batch, shard_key)
+            mask = mask.astype(elems.dtype)
+            global_count = jax.lax.psum(jnp.sum(mask), 'data')
+            return jnp.sum(elems * mask) / jnp.maximum(global_count, 1.0)
+
+        # With vma-aware shard_map (check_vma=True), params are marked
+        # invariant over 'data'; jax.grad's transpose then inserts the
+        # gradient psum over 'data' automatically — adding an explicit one
+        # would double-count.
+        local, grads = jax.value_and_grad(local_loss)(params)
+        loss = jax.lax.psum(local, 'data')
+
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def step(carry, batch_and_key):
+        params, opt_state = carry
+        batch, batch_key = batch_and_key
+        params, opt_state, loss = sharded_step(params, opt_state, batch,
+                                               batch_key)
+        return (params, opt_state), loss
+
+    (params, opt_state), losses = jax.lax.scan(
+        step, (params, opt_state), (batched, batch_keys))
+    return params, opt_state, jnp.mean(losses)

@@ -75,11 +75,17 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
                  use_cuda=False,
                  sparse=False,
                  random_state=None,
-                 num_negative_samples=5):
+                 num_negative_samples=5,
+                 mesh=None):
         assert loss in ('pointwise', 'bpr', 'hinge', 'adaptive_hinge')
         if isinstance(representation, str):
             assert representation in ('pooling', 'cnn', 'lstm', 'mixture')
         del use_cuda  # API parity; devices come from jax
+
+        if mesh is not None and batch_size % mesh.shape['data']:
+            raise ValueError(
+                'batch_size ({}) must be divisible by the data mesh axis '
+                'size ({})'.format(batch_size, mesh.shape['data']))
 
         self._loss = loss
         self._representation = representation
@@ -92,12 +98,15 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
         self._sparse = sparse
         self._random_state = random_state or np.random.RandomState()
         self._num_negative_samples = num_negative_samples
+        self._mesh = mesh
 
         self._num_items = None
         self._net = None
         self._params = None
         self._optimizer = None
         self._opt_state = None
+        self._param_specs = None
+        self._opt_specs = None
         self._key = training.key_from_random_state(self._random_state)
         self._epoch_fn_cache = {}
 
@@ -132,10 +141,28 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
         else:
             self._net = self._representation
 
-        self._params = self._net.init(self._next_key())
         self._optimizer = training.make_optimizer(
             self._learning_rate, self._l2, self._optimizer_func)
-        self._opt_state = self._optimizer.init(self._params)
+
+        if self._mesh is not None:
+            from spotlight_tpu.parallel import sharding as psharding
+            from spotlight_tpu.parallel import training as ptraining
+
+            if hasattr(self._net, 'sharded'):
+                self._net = self._net.sharded(
+                    'model', self._mesh.shape['model'])
+            self._param_specs = self._net.param_specs()
+            self._params = psharding.shard_params(
+                self._net.init(self._next_key()), self._param_specs,
+                self._mesh)
+            self._opt_state = self._optimizer.init(self._params)
+            self._opt_specs = ptraining.opt_specs_like(
+                self._opt_state, self._params, self._param_specs)
+            self._opt_state = psharding.shard_params(
+                self._opt_state, self._opt_specs, self._mesh)
+        else:
+            self._params = self._net.init(self._next_key())
+            self._opt_state = self._optimizer.init(self._params)
 
     def _check_input(self, item_ids):
         if isinstance(item_ids, (int, np.integer)):
@@ -158,7 +185,7 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
         optimizer = self._optimizer
         batch_size = self._batch_size
 
-        def batch_loss(params, batch, key):
+        def elems_fn(params, batch, key):
             sequences = batch['sequences']                  # (B, T)
             user_representations, _ = net.user_representation(
                 params, sequences)
@@ -180,14 +207,12 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
 
             mask = ((sequences != PADDING_IDX) &
                     (batch['mask'][:, None] > 0))
-            return loss_func(positive, negative, mask=mask)
+            return loss_func(positive, negative, reduce=False), mask
 
-        @jax.jit
-        def epoch_fn(params, opt_state, key, data):
-            return training.epoch_scan(params, opt_state, key, data,
-                                       num_batches, batch_size,
-                                       batch_loss, optimizer)
-
+        epoch_fn = training.build_epoch_fn(
+            elems_fn, optimizer, num_batches, batch_size,
+            mesh=self._mesh, param_specs=self._param_specs,
+            opt_specs=self._opt_specs)
         self._epoch_fn_cache[num_batches] = epoch_fn
         return epoch_fn
 

@@ -67,9 +67,40 @@ class _ItemRepresentationBase:
     def _item_layers(self):
         item_embeddings = self.item_embedding_layer or ScaledEmbedding(
             self.num_items, self.embedding_dim, padding_idx=PADDING_IDX)
-        item_biases = ZeroEmbedding(self.num_items, 1,
-                                    padding_idx=PADDING_IDX)
+        item_biases = getattr(self, 'item_bias_layer', None) or ZeroEmbedding(
+            self.num_items, 1, padding_idx=PADDING_IDX)
         return item_embeddings, item_biases
+
+    def sharded(self, axis='model', num_shards=1):
+        """A variant with the item embedding/bias tables row-sharded over
+        the given mesh axis; dense (LSTM/CNN/projection) parameters stay
+        replicated.  Bloom-compressed layers stay replicated too."""
+        from spotlight_tpu.parallel.sharding import ShardedEmbedding
+
+        def wrap(layer):
+            if not isinstance(layer, (ScaledEmbedding, ZeroEmbedding)):
+                return layer
+            return ShardedEmbedding(layer, axis=axis, num_shards=num_shards)
+
+        item_emb, item_bias = self._item_layers()
+        return dataclasses.replace(
+            self,
+            item_embedding_layer=wrap(item_emb),
+            item_bias_layer=wrap(item_bias))
+
+    def param_specs(self):
+        """PartitionSpec tree matching :meth:`init`'s parameter tree:
+        sharded specs for wrapped tables, replicated for everything else."""
+        from jax.sharding import PartitionSpec as P
+
+        shapes = jax.eval_shape(self.init, jax.random.PRNGKey(0))
+        specs = jax.tree_util.tree_map(lambda _: P(), shapes)
+        item_emb, item_bias = self._item_layers()
+        if hasattr(item_emb, 'spec'):
+            specs['item_embeddings'] = item_emb.spec()
+        if hasattr(item_bias, 'spec'):
+            specs['item_biases'] = item_bias.spec()
+        return specs
 
     def _init_item_params(self, key):
         item_emb, item_bias = self._item_layers()
@@ -108,6 +139,15 @@ class _ItemRepresentationBase:
         dot = jnp.sum(user_representations * target_embedding, axis=-1)
         return dot + target_bias
 
+    def _catalog_matrix(self, params):
+        """Densified (num_items, dim) item matrix and (num_items,) bias —
+        works for plain, bloom-compressed, and row-sharded item layers."""
+        item_emb, item_bias = self._item_layers()
+        all_items = jnp.arange(self.num_items, dtype=jnp.int32)
+        weight = item_emb.apply(params['item_embeddings'], all_items)
+        bias = item_bias.apply(params['item_biases'], all_items)[..., 0]
+        return weight, bias
+
     def score_catalog(self, params, final_representations):
         """Score final representations against the whole catalog.
 
@@ -119,8 +159,7 @@ class _ItemRepresentationBase:
         -------
         (B, num_items) float scores
         """
-        weight = params['item_embeddings']['weight']
-        bias = params['item_biases']['weight'][:, 0]
+        weight, bias = self._catalog_matrix(params)
         scores = jnp.dot(final_representations, weight.T,
                          preferred_element_type=jnp.float32)
         return scores + bias[None, :]
@@ -141,6 +180,7 @@ class PoolNet(_ItemRepresentationBase):
     embedding_dim: int = 32
     item_embedding_layer: Optional[object] = None
     sparse: bool = False
+    item_bias_layer: Optional[object] = None
 
     def init(self, key):
         return self._init_item_params(key)
@@ -167,6 +207,7 @@ class LSTMNet(_ItemRepresentationBase):
     embedding_dim: int = 32
     item_embedding_layer: Optional[object] = None
     sparse: bool = False
+    item_bias_layer: Optional[object] = None
 
     def init(self, key):
         item_key, *keys = jax.random.split(key, 5)
@@ -203,9 +244,11 @@ class LSTMNet(_ItemRepresentationBase):
             h = o * jnp.tanh(c)
             return (h, c), h
 
-        batch = inputs.shape[0]
-        init = (jnp.zeros((batch, dim), dtype=inputs.dtype),
-                jnp.zeros((batch, dim), dtype=inputs.dtype))
+        # Derive the zero carry from the inputs so it inherits their
+        # device-variance type under vma-aware shard_map (a plain
+        # jnp.zeros would be axis-invariant and fail the scan carry check).
+        zero_state = x_proj[:, 0, :dim] * 0.0
+        init = (zero_state, zero_state)
         _, hidden = jax.lax.scan(step, init,
                                  jnp.swapaxes(x_proj, 0, 1))
         return jnp.swapaxes(hidden, 0, 1)
@@ -244,6 +287,7 @@ class CNNNet(_ItemRepresentationBase):
     sparse: bool = False
     benchmark: bool = True  # API parity no-op (cudnn flag in the reference)
     item_embedding_layer: Optional[object] = None
+    item_bias_layer: Optional[object] = None
 
     def __post_init__(self):
         if self.nonlinearity not in ('tanh', 'relu'):
@@ -336,6 +380,7 @@ class MixtureLSTMNet(_ItemRepresentationBase):
     num_mixtures: int = 4
     item_embedding_layer: Optional[object] = None
     sparse: bool = False
+    item_bias_layer: Optional[object] = None
 
     def init(self, key):
         item_key, *keys = jax.random.split(key, 7)
@@ -393,8 +438,7 @@ class MixtureLSTMNet(_ItemRepresentationBase):
         components = final_representations[:, :m, :]       # (B, M, D)
         mixture_vectors = final_representations[:, m:, :]  # (B, M, D)
 
-        weight = params['item_embeddings']['weight']       # (N, D)
-        bias = params['item_biases']['weight'][:, 0]
+        weight, bias = self._catalog_matrix(params)        # (N, D), (N,)
 
         taste_scores = jnp.einsum('bmd,nd->bmn', components, weight,
                                   preferred_element_type=jnp.float32)

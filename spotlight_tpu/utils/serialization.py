@@ -40,6 +40,8 @@ _UNPICKLABLE_FIELDS = (
     '_score_catalog_fn',
     '_catalog_fn',
     '_epoch_fn_cache',
+    '_mesh',               # holds live device objects; re-set after load to
+                           # resume distributed training on a new mesh
 )
 
 
@@ -58,6 +60,7 @@ class SerializableEstimatorMixin:
         self.__dict__.update(state)
         self.__dict__['_epoch_fn_cache'] = {}
         self.__dict__['_optimizer'] = None
+        self.__dict__['_mesh'] = None
         if had_optimizer:
             from spotlight_tpu.utils import training
             self.__dict__['_optimizer'] = training.make_optimizer(

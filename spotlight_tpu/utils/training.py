@@ -115,6 +115,39 @@ def epoch_scan(params, opt_state, key, data, num_batches, batch_size,
     return params, opt_state, jnp.mean(losses)
 
 
+def build_epoch_fn(elems_fn, optimizer, num_batches, batch_size,
+                   mesh=None, param_specs=None, opt_specs=None):
+    """Compile an epoch function from an elementwise-loss builder.
+
+    ``elems_fn(params, batch, key) -> (elementwise_loss, mask)``; the
+    reduction (masked mean) is applied here so the same builder serves both
+    the single-device scan and the mesh-distributed scan (which needs the
+    mask denominator psum-ed across data shards).
+    """
+    if mesh is None:
+        def batch_loss(params, batch, key):
+            elems, mask = elems_fn(params, batch, key)
+            mask = mask.astype(elems.dtype)
+            return jnp.sum(elems * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+        @jax.jit
+        def epoch_fn(params, opt_state, key, data):
+            return epoch_scan(params, opt_state, key, data,
+                              num_batches, batch_size, batch_loss, optimizer)
+
+        return epoch_fn
+
+    from spotlight_tpu.parallel.training import epoch_scan_distributed
+
+    @jax.jit
+    def epoch_fn(params, opt_state, key, data):
+        return epoch_scan_distributed(
+            params, opt_state, key, data, num_batches, batch_size,
+            elems_fn, optimizer, mesh, param_specs, opt_specs)
+
+    return epoch_fn
+
+
 def check_degenerate(epoch_loss):
     """Raise on NaN or exactly-zero epoch loss, matching the reference guard
     (`factorization/implicit.py:250-252`)."""

@@ -1,0 +1,168 @@
+"""Sharding/collective correctness on a forced 8-device CPU mesh.
+
+The discipline SURVEY.md §4 prescribes for multi-chip code without a
+cluster: exact-equality tests that the sharded lookup / training step
+matches the single-device path, run on
+``--xla_force_host_platform_device_count=8`` virtual devices.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from spotlight_tpu.data import random_train_test_split
+from spotlight_tpu.evaluation import mrr_score, rmse_score
+from spotlight_tpu.factorization import (ExplicitFactorizationModel,
+                                         ImplicitFactorizationModel)
+from spotlight_tpu.ops.embeddings import ScaledEmbedding
+from spotlight_tpu.parallel import ShardedEmbedding, make_mesh, shard_params
+
+from tests._fixtures import factorization_dataset, sequential_dataset
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason='needs 8 (virtual) devices')
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh(data=2, model=4)
+    assert mesh.shape == {'data': 2, 'model': 4}
+    mesh = make_mesh(model=4)
+    assert mesh.shape == {'data': 2, 'model': 4}
+    mesh = make_mesh()
+    assert mesh.shape == {'data': 8, 'model': 1}
+
+
+def test_sharded_lookup_matches_dense():
+    """Collective lookup inside shard_map == plain gather, exactly."""
+    mesh = make_mesh(data=2, model=4)
+    inner = ScaledEmbedding(103, 16, padding_idx=0)  # deliberately ragged
+    layer = ShardedEmbedding(inner, axis='model', num_shards=4)
+
+    params = layer.init(jax.random.PRNGKey(0))
+    assert params['weight'].shape == (104, 16)  # padded to 4 shards
+    params = shard_params(params, layer.spec(), mesh)
+
+    ids = jnp.asarray(
+        np.random.RandomState(0).randint(0, 103, size=(2, 64)),
+        dtype=jnp.int32)
+
+    dense = inner.apply({'weight': params['weight'][:103]}, ids)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(layer.spec(), P('data', None)),
+                       out_specs=P('data', None, None),
+                       check_vma=True)
+    def lookup(p, batch_ids):
+        return layer.apply(p, batch_ids)
+
+    sharded = lookup(params, ids)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
+                               rtol=0, atol=0)
+
+
+def test_sharded_lookup_gradients_match():
+    """Gradients through the collective lookup land on the right rows."""
+    mesh = make_mesh(data=2, model=4)
+    inner = ScaledEmbedding(40, 8, padding_idx=0)
+    layer = ShardedEmbedding(inner, axis='model', num_shards=4)
+    params = layer.init(jax.random.PRNGKey(1))
+    ids = jnp.asarray([[1, 5, 39, 0], [7, 7, 2, 12]], dtype=jnp.int32)
+
+    def dense_loss(p):
+        return (inner.apply({'weight': p['weight'][:40]}, ids) ** 2).sum()
+
+    dense_grads = jax.grad(dense_loss)(params)
+
+    sharded_p = shard_params(params, layer.spec(), mesh)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(layer.spec(), P('data', None)),
+                       out_specs=layer.spec(),
+                       check_vma=True)
+    def sharded_grads_fn(p, batch_ids):
+        def local_loss(p):
+            out = layer.apply(p, batch_ids)
+            return (out ** 2).sum()
+        # vma-aware AD inserts the psum over 'data' in the transpose
+        # (p is data-invariant), so the local grad is already global.
+        return jax.grad(local_loss)(p)
+
+    sharded_grads = sharded_grads_fn(sharded_p, ids)
+    np.testing.assert_allclose(np.asarray(sharded_grads['weight']),
+                               np.asarray(dense_grads['weight']),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_explicit_distributed_matches_single_device():
+    """Full distributed training (data x model sharding) reproduces the
+    single-device parameters exactly: same shuffle keys, deterministic loss,
+    global masked-mean reduction."""
+    interactions = factorization_dataset(
+        num_users=150, num_items=120, num_interactions=6000, explicit=True)
+    train, test = random_train_test_split(
+        interactions, random_state=np.random.RandomState(0))
+
+    def fit(mesh):
+        model = ExplicitFactorizationModel(
+            loss='regression', embedding_dim=16, n_iter=3, batch_size=256,
+            learning_rate=1e-2, l2=1e-6,
+            random_state=np.random.RandomState(42), mesh=mesh)
+        model.fit(train)
+        return model
+
+    single = fit(None)
+    distributed = fit(make_mesh(data=2, model=4))
+
+    rmse_single = rmse_score(single, test)
+    rmse_dist = rmse_score(distributed, test)
+    assert abs(rmse_single - rmse_dist) < 1e-4
+
+    w_single = np.asarray(single._params['item_embeddings']['weight'])
+    w_dist = np.asarray(
+        distributed._params['item_embeddings']['weight'])[:120]
+    np.testing.assert_allclose(w_single, w_dist, rtol=1e-4, atol=1e-5)
+
+
+def test_implicit_distributed_learns():
+    """Distributed implicit training (on-device per-shard negative
+    sampling) reaches the same statistical gates as single-device."""
+    interactions = factorization_dataset(
+        num_users=600, num_items=400, num_interactions=30000,
+        rank=8, noise=0.15)
+    train, test = random_train_test_split(
+        interactions, random_state=np.random.RandomState(0))
+
+    model = ImplicitFactorizationModel(
+        loss='bpr', embedding_dim=32, n_iter=10, batch_size=1024,
+        learning_rate=1e-2, l2=1e-6,
+        random_state=np.random.RandomState(42),
+        mesh=make_mesh(data=2, model=4))
+    model.fit(train)
+    assert mrr_score(model, test, train=train).mean() > 0.03
+
+
+def test_sequence_distributed_learns():
+    from spotlight_tpu.data import user_based_train_test_split
+    from spotlight_tpu.evaluation import sequence_mrr_score
+    from spotlight_tpu.sequence import ImplicitSequenceModel
+
+    interactions = sequential_dataset(
+        num_users=100, num_items=100, num_interactions=10000,
+        concentration_parameter=1e-3, order=2, seed=42)
+    train, test = user_based_train_test_split(
+        interactions, random_state=np.random.RandomState(42))
+    train = train.to_sequence(max_sequence_length=10)
+    test = test.to_sequence(max_sequence_length=10)
+
+    model = ImplicitSequenceModel(
+        loss='bpr', representation='lstm', batch_size=128,
+        embedding_dim=32, learning_rate=1e-2, l2=1e-7, n_iter=10,
+        random_state=np.random.RandomState(42),
+        mesh=make_mesh(data=2, model=4))
+    model.fit(train)
+    assert sequence_mrr_score(model, test).mean() > 0.35
