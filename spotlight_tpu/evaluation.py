@@ -31,6 +31,86 @@ import numpy as np
 FLOAT_MAX = np.finfo(np.float32).max
 
 
+def _streaming_default():
+    """Use the Pallas streaming rank kernel on TPU-like backends."""
+    return jax.default_backend() not in ('cpu',)
+
+
+def _streaming_ranks(model, kind, inputs, targets, target_mask,
+                     train_rows=None, interpret=False):
+    """Fused-kernel MRR path: score factors once, stream the catalog.
+
+    ``kind`` is 'users' (factorization; inputs = user id batch) or
+    'sequences' (inputs = prefix batch).  Returns per-row mean reciprocal
+    ranks, or None when the model cannot expose dot-product factors.
+
+    Train-item masking is applied as a closed-form correction: the reference
+    sets masked scores to -FLOAT_MAX (`evaluation.py:50`), so a masked item
+    contributes to no target's counts — subtract its comparisons; a target
+    that is itself masked ranks behind every unmasked item with the masked
+    set tied: ``rank = (N - |M|) + (|M| + 1) / 2``.
+    """
+    from spotlight_tpu.ops.kernels.ranking import (rank_counts)
+
+    factors_fn = getattr(model, '_rank_factors_' + kind, None)
+    if factors_fn is None:
+        return None
+    factors = factors_fn(inputs)
+    if factors is None:
+        return None
+    reprs, item_matrix, item_bias = factors
+
+    targets = jnp.asarray(targets, dtype=jnp.int32)
+    safe_targets = jnp.clip(targets, 0, item_matrix.shape[0] - 1)
+    target_scores = (
+        jnp.einsum('bd,btd->bt', reprs, item_matrix[safe_targets],
+                   preferred_element_type=jnp.float32)
+        + item_bias[safe_targets])
+
+    greater, equal = rank_counts(reprs, item_matrix, item_bias,
+                                 target_scores, safe_targets,
+                                 interpret=interpret)
+
+    num_items = item_matrix.shape[0]
+    if train_rows is not None:
+        train_rows = jnp.asarray(train_rows, dtype=jnp.int32)  # (B, Tr)
+        valid_train = train_rows >= 0
+        safe_train = jnp.clip(train_rows, 0, num_items - 1)
+        train_scores = (
+            jnp.einsum('bd,btd->bt', reprs, item_matrix[safe_train],
+                       preferred_element_type=jnp.float32)
+            + item_bias[safe_train])                            # (B, Tr)
+
+        # Comparisons of each target against the user's train items
+        # (excluding the target itself by id).
+        not_self = safe_train[:, None, :] != safe_targets[:, :, None]
+        countable = valid_train[:, None, :] & not_self          # (B, T, Tr)
+        tr_greater = jnp.sum(
+            countable & (train_scores[:, None, :] >
+                         target_scores[:, :, None]), axis=2)
+        tr_equal = jnp.sum(
+            countable & (train_scores[:, None, :] ==
+                         target_scores[:, :, None]), axis=2)
+
+        target_in_train = jnp.any(
+            valid_train[:, None, :] &
+            (safe_train[:, None, :] == safe_targets[:, :, None]), axis=2)
+        train_count = valid_train.sum(axis=1, keepdims=True)    # (B, 1)
+
+        unmasked_ranks = (greater - tr_greater +
+                          (equal - tr_equal) * 0.5 + 1.0)
+        masked_ranks = ((num_items - train_count) +
+                        (train_count + 1.0) * 0.5)
+        ranks = jnp.where(target_in_train, masked_ranks, unmasked_ranks)
+    else:
+        ranks = greater + equal * 0.5 + 1.0
+
+    target_mask = jnp.asarray(target_mask)
+    rr = jnp.where(target_mask, 1.0 / ranks, 0.0)
+    denom = jnp.maximum(target_mask.sum(axis=1), 1)
+    return np.asarray(rr.sum(axis=1) / denom)
+
+
 def _padded_rows(csr_matrix, users, pad_value=-1):
     """Extract each user's column indices into a dense padded matrix."""
     rows = [csr_matrix.indices[csr_matrix.indptr[u]:csr_matrix.indptr[u + 1]]
@@ -107,7 +187,7 @@ def _score_user_batch(model, user_batch):
     return np.stack([model.predict(int(u)) for u in user_batch])
 
 
-def mrr_score(model, test, train=None, batch_size=256):
+def mrr_score(model, test, train=None, batch_size=256, streaming=None):
     """Mean reciprocal rank: one score per user with test interactions,
     the mean reciprocal (average-tie) rank of that user's test items.
 
@@ -120,6 +200,9 @@ def mrr_score(model, test, train=None, batch_size=256):
         other item and so do not affect the MRR.
     batch_size : int, optional
         Number of users scored per device step.
+    streaming : bool, optional
+        Use the fused Pallas catalog-streaming kernel (default: on TPU
+        backends, when the model exposes dot-product rank factors).
 
     Returns
     -------
@@ -133,14 +216,28 @@ def mrr_score(model, test, train=None, batch_size=256):
     train_rows = (_padded_rows(train_csr, users)
                   if train_csr is not None else None)
 
+    use_streaming = (_streaming_default() if streaming is None
+                     else streaming)
+    interpret = bool(use_streaming) and jax.default_backend() == 'cpu'
+
     mrrs = []
     for start in range(0, len(users), batch_size):
         u = users[start:start + batch_size]
         t = targets[start:start + batch_size]
+        tr = (train_rows[start:start + batch_size]
+              if train_rows is not None else None)
+
+        if use_streaming:
+            rr = _streaming_ranks(model, 'users', u, t, t >= 0,
+                                  train_rows=tr, interpret=interpret)
+            if rr is not None:
+                mrrs.append(rr)
+                continue
+            use_streaming = False  # model can't factorize; stop retrying
+
         scores = jnp.asarray(_score_user_batch(model, u))
-        if train_rows is not None:
-            scores = _mask_scores(
-                scores, jnp.asarray(train_rows[start:start + batch_size]))
+        if tr is not None:
+            scores = _mask_scores(scores, jnp.asarray(tr))
         rr = _reciprocal_ranks(scores, jnp.asarray(t),
                                jnp.asarray(t) >= 0)
         mrrs.append(np.asarray(rr))
@@ -161,7 +258,19 @@ def _sequence_final_scores(model, prefixes, exclude_preceding):
     return scores
 
 
-def sequence_mrr_score(model, test, exclude_preceding=False, batch_size=256):
+def _dedup_rows(matrix, pad_value=-1):
+    """Per-row unique values, padded with ``pad_value`` on the right."""
+    out = np.full_like(matrix, pad_value)
+    width = 0
+    for i, row in enumerate(matrix):
+        unique = np.unique(row)
+        out[i, :len(unique)] = unique
+        width = max(width, len(unique))
+    return out[:, :max(width, 1)]
+
+
+def sequence_mrr_score(model, test, exclude_preceding=False, batch_size=256,
+                       streaming=None):
     """MRR of each sequence's last element given all preceding elements.
 
     Parameters
@@ -172,6 +281,9 @@ def sequence_mrr_score(model, test, exclude_preceding=False, batch_size=256):
         Push items already in the prefix below every other item.  (Note:
         like the reference, `evaluation.py:95-96`, this also excludes the
         padding id 0.)
+    streaming : bool, optional
+        Use the fused Pallas catalog-streaming kernel (default: on TPU
+        backends, for dot-product representations).
 
     Returns
     -------
@@ -180,10 +292,27 @@ def sequence_mrr_score(model, test, exclude_preceding=False, batch_size=256):
     sequences = test.sequences[:, :-1]
     targets = test.sequences[:, -1:]
 
+    use_streaming = (_streaming_default() if streaming is None
+                     else streaming)
+    interpret = bool(use_streaming) and jax.default_backend() == 'cpu'
+
     mrrs = []
     for start in range(0, len(sequences), batch_size):
         prefix = sequences[start:start + batch_size]
         t = targets[start:start + batch_size]
+
+        if use_streaming:
+            masked_rows = (_dedup_rows(prefix.astype(np.int64))
+                           if exclude_preceding else None)
+            rr = _streaming_ranks(
+                model, 'sequences', prefix, t.astype(np.int64),
+                np.ones_like(t, dtype=bool), train_rows=masked_rows,
+                interpret=interpret)
+            if rr is not None:
+                mrrs.append(rr)
+                continue
+            use_streaming = False
+
         scores = _sequence_final_scores(model, prefix, exclude_preceding)
         rr = _reciprocal_ranks(jnp.asarray(scores),
                                jnp.asarray(t.astype(np.int64)),

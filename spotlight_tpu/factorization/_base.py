@@ -153,6 +153,34 @@ class _FactorizationBase(SerializableEstimatorMixin):
 
         return score_catalog
 
+    @functools.cached_property
+    def _rank_factors_jit(self):
+        net = self._net
+        if not isinstance(net, BilinearNet):
+            return None
+
+        @jax.jit
+        def factors(params, user_ids):
+            user_emb, item_emb, _user_bias, item_bias = net._layers()
+            reprs = user_emb.apply(params['user_embeddings'], user_ids)
+            all_items = jnp.arange(net.num_items, dtype=jnp.int32)
+            matrix = item_emb.apply(params['item_embeddings'], all_items)
+            bias = item_bias.apply(params['item_biases'], all_items)[..., 0]
+            # The per-user bias shifts every item's score equally and so
+            # cannot change ranks; it is dropped from the factors.
+            return reprs, matrix, bias
+
+        return factors
+
+    def _rank_factors_users(self, user_batch):
+        """(user_reprs, item_matrix, item_bias) for the streaming rank
+        kernel, or None when the representation is not a dot-product."""
+        fn = self._rank_factors_jit
+        if fn is None:
+            return None
+        return fn(self._params,
+                  jnp.asarray(np.asarray(user_batch, dtype=np.int32)))
+
     def _raw_predictions(self, user_ids, item_ids):
         """Reference `_predict_process_ids` semantics
         (`factorization/_components.py:8-25`) on the batched device paths."""

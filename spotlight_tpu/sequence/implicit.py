@@ -266,6 +266,32 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
 
         return catalog_scores
 
+    @functools.cached_property
+    def _rank_factors_jit(self):
+        from spotlight_tpu.sequence.representations import (CNNNet, LSTMNet,
+                                                            PoolNet)
+
+        net = self._net
+        if not isinstance(net, (PoolNet, LSTMNet, CNNNet)):
+            return None  # mixture/custom scoring is not a plain dot product
+
+        @jax.jit
+        def factors(params, sequences):
+            _, final = net.user_representation(params, sequences)
+            matrix, bias = net._catalog_matrix(params)
+            return final, matrix, bias
+
+        return factors
+
+    def _rank_factors_sequences(self, prefix_batch):
+        """(final_reprs, item_matrix, item_bias) for the streaming rank
+        kernel, or None for non-dot-product representations."""
+        fn = self._rank_factors_jit
+        if fn is None:
+            return None
+        prefix = np.atleast_2d(np.asarray(prefix_batch, dtype=np.int32))
+        return fn(self._params, jnp.asarray(prefix))
+
     def _score_catalog_sequences(self, sequences):
         """(B, num_items) next-item scores for a batch of sequences — the
         batched-evaluation fast path."""

@@ -40,6 +40,7 @@ _UNPICKLABLE_FIELDS = (
     '_score_catalog_fn',
     '_catalog_fn',
     '_epoch_fn_cache',
+    '_rank_factors_jit',
     '_mesh',               # holds live device objects; re-set after load to
                            # resume distributed training on a new mesh
 )

@@ -21,6 +21,8 @@ to ``optax.chain(add_decayed_weights(l2), adam(lr))`` (not decoupled AdamW).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -130,7 +132,9 @@ def build_epoch_fn(elems_fn, optimizer, num_batches, batch_size,
             mask = mask.astype(elems.dtype)
             return jnp.sum(elems * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
-        @jax.jit
+        # Donating params/opt_state lets XLA update embedding tables in
+        # place instead of double-buffering them in HBM.
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
         def epoch_fn(params, opt_state, key, data):
             return epoch_scan(params, opt_state, key, data,
                               num_batches, batch_size, batch_loss, optimizer)
@@ -139,7 +143,7 @@ def build_epoch_fn(elems_fn, optimizer, num_batches, batch_size,
 
     from spotlight_tpu.parallel.training import epoch_scan_distributed
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def epoch_fn(params, opt_state, key, data):
         return epoch_scan_distributed(
             params, opt_state, key, data, num_batches, batch_size,

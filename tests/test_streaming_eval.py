@@ -1,0 +1,89 @@
+"""The Pallas streaming-rank evaluation path must agree with the standard
+materialize-sort path (kernel run in interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+from spotlight_tpu.data import random_train_test_split
+from spotlight_tpu.evaluation import mrr_score, sequence_mrr_score
+from spotlight_tpu.factorization import ImplicitFactorizationModel
+from spotlight_tpu.sequence import ImplicitSequenceModel
+
+from tests._fixtures import factorization_dataset, sequential_dataset
+
+
+@pytest.fixture(scope='module')
+def fitted_factorization():
+    interactions = factorization_dataset(
+        num_users=120, num_items=90, num_interactions=4000)
+    train, test = random_train_test_split(
+        interactions, random_state=np.random.RandomState(0))
+    model = ImplicitFactorizationModel(
+        loss='bpr', n_iter=2, batch_size=512,
+        random_state=np.random.RandomState(42))
+    model.fit(train)
+    return train, test, model
+
+
+@pytest.fixture(scope='module')
+def fitted_sequence():
+    interactions = sequential_dataset(
+        num_users=40, num_items=50, num_interactions=2000,
+        concentration_parameter=0.01)
+    from spotlight_tpu.data import user_based_train_test_split
+    train, test = user_based_train_test_split(
+        interactions, random_state=np.random.RandomState(0))
+    train = train.to_sequence(max_sequence_length=8)
+    test = test.to_sequence(max_sequence_length=8)
+    model = ImplicitSequenceModel(
+        loss='bpr', representation='lstm', n_iter=2,
+        random_state=np.random.RandomState(42))
+    model.fit(train)
+    return train, test, model
+
+
+def test_streaming_mrr_matches(fitted_factorization):
+    train, test, model = fitted_factorization
+    standard = mrr_score(model, test, streaming=False)
+    streamed = mrr_score(model, test, streaming=True)
+    np.testing.assert_allclose(streamed, standard, rtol=1e-4, atol=1e-6)
+
+
+def test_streaming_mrr_with_train_mask_matches(fitted_factorization):
+    train, test, model = fitted_factorization
+    standard = mrr_score(model, test, train=train, streaming=False)
+    streamed = mrr_score(model, test, train=train, streaming=True)
+    np.testing.assert_allclose(streamed, standard, rtol=1e-4, atol=1e-6)
+
+
+def test_streaming_sequence_mrr_matches(fitted_sequence):
+    _, test, model = fitted_sequence
+    standard = sequence_mrr_score(model, test, streaming=False)
+    streamed = sequence_mrr_score(model, test, streaming=True)
+    np.testing.assert_allclose(streamed, standard, rtol=1e-4, atol=1e-6)
+
+
+def test_streaming_sequence_mrr_exclude_preceding_matches(fitted_sequence):
+    _, test, model = fitted_sequence
+    standard = sequence_mrr_score(model, test, exclude_preceding=True,
+                                  streaming=False)
+    streamed = sequence_mrr_score(model, test, exclude_preceding=True,
+                                  streaming=True)
+    np.testing.assert_allclose(streamed, standard, rtol=1e-4, atol=1e-6)
+
+
+def test_streaming_falls_back_for_mixture():
+    """Mixture scoring is not a dot product; the streaming path must fall
+    back to the standard path rather than mis-evaluate."""
+    interactions = sequential_dataset(
+        num_users=40, num_items=50, num_interactions=2000,
+        concentration_parameter=0.01)
+    sequences = interactions.to_sequence(max_sequence_length=8)
+    model = ImplicitSequenceModel(
+        representation='mixture', n_iter=1,
+        random_state=np.random.RandomState(42))
+    model.fit(sequences)
+    assert model._rank_factors_sequences(
+        sequences.sequences[:4, :-1]) is None
+    out = sequence_mrr_score(model, sequences, streaming=True)
+    assert out.shape == (len(sequences.sequences),)
