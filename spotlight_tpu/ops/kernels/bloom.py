@@ -33,7 +33,8 @@ def _bloom_gather_kernel(rows_ref, table_ref, out_ref, scratch, sems, *,
     """Grid step over batch tiles: sum k table rows per id.
 
     Refs:
-        rows_ref  : (B, k) int32 scalar-prefetch (SMEM) — hashed row ids
+        rows_ref  : (B * k,) int32 scalar-prefetch (SMEM) — hashed row ids,
+                    flattened (2-D SMEM operands get lane-padded to 128)
         table_ref : (C, D) HBM — compressed table, DMA'd row by row
         out_ref   : (TILE, D) VMEM — output block for this grid step
         scratch   : (2, D) VMEM — double buffer for row DMAs
@@ -44,9 +45,7 @@ def _bloom_gather_kernel(rows_ref, table_ref, out_ref, scratch, sems, *,
     total = tile_batch * num_hashes
 
     def row_dma(slot, flat_idx):
-        element = base + flat_idx // num_hashes
-        hash_j = flat_idx % num_hashes
-        row = rows_ref[element, hash_j]
+        row = rows_ref[base * num_hashes + flat_idx]
         return pltpu.make_async_copy(
             table_ref.at[pl.ds(row, 1), :],
             scratch.at[pl.ds(slot, 1), :],
@@ -87,6 +86,7 @@ def _bloom_gather_forward(table, rows, tile_batch, interpret):
     if pad:
         rows = jnp.concatenate(
             [rows, jnp.zeros((pad, num_hashes), rows.dtype)])
+    rows = rows.reshape(-1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -113,13 +113,20 @@ def _bloom_gather_forward(table, rows, tile_batch, interpret):
     return out[:batch]
 
 
+def supported(embedding_dim):
+    """Mosaic HBM row-DMA requires the lane dimension to be a multiple of
+    the 128-lane tile; narrower tables fall back to the XLA gather."""
+    return embedding_dim % 128 == 0
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def bloom_gather_sum(table, rows, tile_batch=256, interpret=False):
     """Fused ``table[rows].sum(-2)``.
 
     Parameters
     ----------
-    table : (C, D) float — compressed embedding table
+    table : (C, D) float — compressed embedding table; D must satisfy
+        :func:`supported` (multiple of 128) on real TPU hardware
     rows : (B, k) int32 — hashed row indices per id
     tile_batch : int — ids processed per grid step
 

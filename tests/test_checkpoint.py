@@ -1,0 +1,117 @@
+"""Orbax sharded checkpoint round-trips, including restore onto a mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from spotlight_tpu.data import random_train_test_split
+from spotlight_tpu.evaluation import mrr_score
+from spotlight_tpu.factorization import ImplicitFactorizationModel
+from spotlight_tpu.parallel import checkpoint, make_mesh
+
+from tests._fixtures import factorization_dataset
+
+
+def _data():
+    interactions = factorization_dataset(
+        num_users=150, num_items=120, num_interactions=6000)
+    return random_train_test_split(
+        interactions, random_state=np.random.RandomState(0))
+
+
+def test_single_device_roundtrip(tmp_path):
+    train, test = _data()
+    model = ImplicitFactorizationModel(
+        loss='bpr', n_iter=2, batch_size=512,
+        random_state=np.random.RandomState(42))
+    model.fit(train)
+    mrr_before = mrr_score(model, test)
+
+    path = checkpoint.save_state(str(tmp_path / 'ckpt'), model)
+
+    fresh = ImplicitFactorizationModel(
+        loss='bpr', n_iter=2, batch_size=512,
+        random_state=np.random.RandomState(7))
+    fresh._initialize(train)
+    checkpoint.restore_state(path, fresh)
+    np.testing.assert_array_equal(mrr_score(fresh, test), mrr_before)
+
+    # Training resumes from restored optimizer state without error.
+    fresh.fit(train)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_sharded_roundtrip(tmp_path):
+    """Save from a sharded model, restore into a sharded model — arrays are
+    written and read shard-wise, values identical."""
+    train, test = _data()
+    mesh = make_mesh(data=2, model=4)
+    model = ImplicitFactorizationModel(
+        loss='bpr', n_iter=2, batch_size=512, mesh=mesh,
+        random_state=np.random.RandomState(42))
+    model.fit(train)
+    mrr_before = mrr_score(model, test)
+
+    path = checkpoint.save_state(str(tmp_path / 'ckpt'), model)
+
+    fresh = ImplicitFactorizationModel(
+        loss='bpr', n_iter=2, batch_size=512, mesh=mesh,
+        random_state=np.random.RandomState(7))
+    fresh._initialize(train)
+    checkpoint.restore_state(path, fresh)
+    np.testing.assert_array_equal(mrr_score(fresh, test), mrr_before)
+
+    # Restored tables keep their row-sharded layout.
+    weight = fresh._params['item_embeddings']['weight']
+    assert len(weight.sharding.device_set) == 8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_cross_layout_restore(tmp_path):
+    """A single-device checkpoint restores onto a mesh-sharded model
+    (reshard-on-restore) with identical values, as long as the padded table
+    shapes agree (both 160 and 120 divide by 4 shards here)."""
+    interactions = factorization_dataset(
+        num_users=160, num_items=120, num_interactions=6000)
+    train, test = random_train_test_split(
+        interactions, random_state=np.random.RandomState(0))
+
+    single = ImplicitFactorizationModel(
+        loss='bpr', n_iter=2, batch_size=512,
+        random_state=np.random.RandomState(42))
+    single.fit(train)
+    path = checkpoint.save_state(str(tmp_path / 'ckpt'), single)
+
+    mesh = make_mesh(data=2, model=4)
+    sharded = ImplicitFactorizationModel(
+        loss='bpr', n_iter=2, batch_size=512, mesh=mesh,
+        random_state=np.random.RandomState(7))
+    sharded._initialize(train)
+
+    checkpoint.restore_state(path, sharded)
+    np.testing.assert_array_equal(
+        np.asarray(sharded._params['item_embeddings']['weight']),
+        np.asarray(single._params['item_embeddings']['weight']))
+    np.testing.assert_array_equal(mrr_score(sharded, test),
+                                  mrr_score(single, test))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_mismatched_layout_raises(tmp_path):
+    """Restoring across layouts with different padded table shapes raises a
+    clear error instead of silently corrupting state."""
+    train, _ = _data()  # 150 users: pads to 152 on a 4-shard model axis
+    single = ImplicitFactorizationModel(
+        loss='bpr', n_iter=2, batch_size=512,
+        random_state=np.random.RandomState(42))
+    single.fit(train)
+    path = checkpoint.save_state(str(tmp_path / 'ckpt'), single)
+
+    mesh = make_mesh(data=2, model=4)
+    sharded = ImplicitFactorizationModel(
+        loss='bpr', n_iter=2, batch_size=512, mesh=mesh,
+        random_state=np.random.RandomState(7))
+    sharded._initialize(train)
+    with pytest.raises(ValueError, match='shape mismatch'):
+        checkpoint.restore_state(path, sharded)
