@@ -1,0 +1,111 @@
+"""Distributed full-catalog evaluation over a device mesh.
+
+The reference evaluates user-by-user on one device
+(`/root/reference/spotlight/evaluation.py:42-55`).  At catalog scales that
+motivate row-sharded item tables, scoring must stay sharded too: each model
+shard scores the user batch against *its own* item rows (a local MXU matmul
+over the table shard it already holds — no table movement), reduces locally,
+and only the tiny per-shard results cross the interconnect:
+
+- :func:`sharded_topk` — local top-k per shard, then an ``all_gather`` of
+  ``k`` candidates per shard and a final top-k over ``num_shards * k``
+  entries (the tournament merge).  Communication: ``B * k * num_shards``
+  scores+ids instead of ``B * N`` scores.
+- :func:`sharded_rank_counts` — per-shard comparison counts + ``psum``,
+  giving exact average-tie ranks for MRR with only ``(B, T)`` scalars
+  communicated.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+
+def sharded_topk(mesh, user_reprs, item_matrix, item_bias, k,
+                 axis='model'):
+    """Top-k items per user over a row-sharded catalog.
+
+    Parameters
+    ----------
+    mesh : jax.sharding.Mesh
+    user_reprs : (B, D) — replicated over the item axis
+    item_matrix : (N, D) — sharded over ``axis`` (N divisible by axis size)
+    item_bias : (N,)
+    k : int
+
+    Returns
+    -------
+    (scores, indices) : ((B, k), (B, k)) — globally best-k, descending,
+        ties broken by ascending item id (matching ``lax.top_k`` on the
+        unsharded matrix).
+    """
+    num_shards = mesh.shape[axis]
+    local_rows = item_matrix.shape[0] // num_shards
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis)),
+        out_specs=(P(None, axis), P(None, axis)),
+        check_vma=True)
+    def local_topk(users, items_local, bias_local):
+        scores = jnp.dot(users, items_local.T,
+                         preferred_element_type=jnp.float32) + bias_local
+        local_scores, local_idx = jax.lax.top_k(scores, k)
+        shard = jax.lax.axis_index(axis)
+        return local_scores, local_idx + shard * local_rows
+
+    # Per-shard candidates concatenate along the trailing axis; the final
+    # tournament merge over num_shards * k entries runs in the global view
+    # (XLA moves only the B x k x num_shards candidates, never B x N).
+    cand_scores, cand_idx = local_topk(user_reprs, item_matrix, item_bias)
+
+    # Sort by (-score, idx) to reproduce lax.top_k's tie order.
+    order = jnp.lexsort((cand_idx, -cand_scores), axis=1)[:, :k]
+    return (jnp.take_along_axis(cand_scores, order, axis=1),
+            jnp.take_along_axis(cand_idx, order, axis=1))
+
+
+def sharded_rank_counts(mesh, user_reprs, item_matrix, item_bias,
+                        target_scores, target_ids, axis='model'):
+    """Comparison counts (greater, equal) of target scores against a
+    row-sharded catalog, excluding the target item itself.
+
+    Each shard counts over its local rows; a ``psum`` merges.  Combine as
+    ``rank = greater + equal / 2 + 1`` (average-tie, rankdata parity).
+
+    Returns
+    -------
+    (greater, equal) : (B, T) float arrays, replicated.
+    """
+    num_shards = mesh.shape[axis]
+    local_rows = item_matrix.shape[0] // num_shards
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=True)
+    def counts(users, items_local, bias_local, tscores, tids):
+        scores = jnp.dot(users, items_local.T,
+                         preferred_element_type=jnp.float32) + bias_local
+        shard = jax.lax.axis_index(axis)
+        global_col = (jnp.arange(scores.shape[1], dtype=jnp.int32)
+                      + shard * local_rows)
+
+        not_self = global_col[None, None, :] != tids[:, :, None]
+        greater = jnp.sum(
+            not_self & (scores[:, None, :] > tscores[:, :, None]),
+            axis=2).astype(jnp.float32)
+        equal = jnp.sum(
+            not_self & (scores[:, None, :] == tscores[:, :, None]),
+            axis=2).astype(jnp.float32)
+        return (jax.lax.psum(greater, axis),
+                jax.lax.psum(equal, axis))
+
+    return counts(user_reprs, item_matrix, item_bias,
+                  target_scores, target_ids.astype(jnp.int32))
