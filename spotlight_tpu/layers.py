@@ -1,0 +1,9 @@
+"""Alias module mirroring the reference's ``spotlight.layers`` import path."""
+
+from spotlight_tpu.ops.embeddings import (  # noqa: F401
+    BloomEmbedding,
+    PADDING_IDX,
+    ScaledEmbedding,
+    ZeroEmbedding,
+)
+from spotlight_tpu.ops.hashing import SEEDS  # noqa: F401
