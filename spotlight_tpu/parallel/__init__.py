@@ -15,6 +15,12 @@ TPU-native scaling design that replaces it:
   owner and merging via collective matmul layouts.
 """
 
+from spotlight_tpu.parallel import checkpoint  # noqa: F401
+from spotlight_tpu.parallel import multihost  # noqa: F401
+from spotlight_tpu.parallel.evaluation import (  # noqa: F401
+    sharded_rank_counts,
+    sharded_topk,
+)
 from spotlight_tpu.parallel.mesh import make_mesh  # noqa: F401
 from spotlight_tpu.parallel.sharding import (  # noqa: F401
     ShardedEmbedding,
