@@ -13,7 +13,6 @@ parameters) are statistically equivalent.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
