@@ -28,6 +28,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_NUM_BUFFERS = 8  # DMA pipeline depth (row fetches are latency-bound)
+
+
 def _bloom_gather_kernel(rows_ref, table_ref, out_ref, scratch, sems, *,
                          tile_batch, num_hashes):
     """Grid step over batch tiles: sum k table rows per id.
@@ -52,16 +55,19 @@ def _bloom_gather_kernel(rows_ref, table_ref, out_ref, scratch, sems, *,
             sems.at[slot],
         )
 
-    # Warm up the pipeline.
-    row_dma(0, 0).start()
+    # Warm up the pipeline: keep _NUM_BUFFERS row fetches in flight.
+    for ahead in range(_NUM_BUFFERS - 1):
+        @pl.when(ahead < total)
+        def _(ahead=ahead):
+            row_dma(ahead % _NUM_BUFFERS, ahead).start()
 
     def body(flat_idx, acc):
-        slot = flat_idx % 2
-        next_slot = (flat_idx + 1) % 2
+        slot = flat_idx % _NUM_BUFFERS
+        prefetch_idx = flat_idx + _NUM_BUFFERS - 1
 
-        @pl.when(flat_idx + 1 < total)
+        @pl.when(prefetch_idx < total)
         def _():
-            row_dma(next_slot, flat_idx + 1).start()
+            row_dma(prefetch_idx % _NUM_BUFFERS, prefetch_idx).start()
 
         row_dma(slot, flat_idx).wait()
         acc = acc + scratch[slot, :]
@@ -98,8 +104,8 @@ def _bloom_gather_forward(table, rows, tile_batch, interpret):
         out_specs=pl.BlockSpec((tile_batch, dim), lambda i, _rows: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, dim), table.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_NUM_BUFFERS, dim), table.dtype),
+            pltpu.SemaphoreType.DMA((_NUM_BUFFERS,)),
         ],
     )
 
