@@ -67,9 +67,14 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
                    preferred_element_type=jnp.float32)
         + item_bias[safe_targets])
 
-    greater, equal = rank_counts(reprs, item_matrix, item_bias,
-                                 target_scores, safe_targets,
-                                 interpret=interpret)
+    try:
+        greater, equal = rank_counts(reprs, item_matrix, item_bias,
+                                     target_scores, safe_targets,
+                                     interpret=interpret)
+    except Exception:
+        # Mosaic compile failures on unusual shapes fall back to the
+        # materialize-sort path rather than breaking evaluation.
+        return None
 
     num_items = item_matrix.shape[0]
     if train_rows is not None:

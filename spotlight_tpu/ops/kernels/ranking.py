@@ -44,7 +44,8 @@ def _rank_count_kernel(users_ref, tscore_ref, tid_ref, items_ref, bias_ref,
         tscore_ref  : (B, T)      VMEM, target scores
         tid_ref     : (B, T)      VMEM, target item ids (int32)
         items_ref   : (TILE, D)   VMEM, this step's item tile
-        bias_ref    : (TILE,)     VMEM
+        bias_ref    : (1, TILE)   VMEM (2-D: 1-D operands can hit
+                                  XLA/Mosaic layout tiling mismatches)
         greater_ref : (B, T)      VMEM accumulator (same block every step)
         equal_ref   : (B, T)      VMEM accumulator
     """
@@ -58,7 +59,7 @@ def _rank_count_kernel(users_ref, tscore_ref, tid_ref, items_ref, bias_ref,
     # (B, TILE) scores on the MXU.
     scores = jnp.dot(users_ref[:], items_ref[:].T,
                      preferred_element_type=jnp.float32)
-    scores = scores + bias_ref[:][None, :]
+    scores = scores + bias_ref[:]  # (1, TILE) broadcasts over batch
 
     # Mask out-of-range rows of the (padded) final tile.
     base = step * tile_items
@@ -143,7 +144,7 @@ def rank_counts(user_reprs, item_matrix, item_bias, target_scores,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_items, dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_items,), lambda i: (i,),
+            pl.BlockSpec((1, tile_items), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -164,7 +165,7 @@ def rank_counts(user_reprs, item_matrix, item_bias, target_scores,
         ),
         interpret=interpret,
     )(user_reprs, target_scores, target_ids.astype(jnp.int32),
-      item_matrix, item_bias)
+      item_matrix, item_bias[None, :])
 
     return greater, equal
 
