@@ -350,12 +350,48 @@ def _precision_recall_from_scores(scores, targets, target_mask, k_values):
     return precision, recall
 
 
-def precision_recall_score(model, test, train=None, k=10, batch_size=256):
+def _streaming_topk_hits(model, kind, inputs, k_max, interpret=False):
+    """(B, k_max) top item ids via the streaming top-k kernel, or None."""
+    from spotlight_tpu.ops.kernels.topk import streaming_topk
+
+    factors_fn = getattr(model, '_rank_factors_' + kind, None)
+    if factors_fn is None:
+        return None
+    factors = factors_fn(inputs)
+    if factors is None:
+        return None
+    reprs, item_matrix, item_bias = factors
+    try:
+        _, top_ids = streaming_topk(reprs, item_matrix, item_bias, k_max,
+                                    interpret=interpret)
+    except Exception:
+        return None
+    return top_ids
+
+
+def _precision_recall_from_topk(top_ids, targets, target_mask, k_values):
+    hits = (top_ids[:, :, None] ==
+            targets[:, None, :]) & target_mask[:, None, :]
+    hits = hits.any(axis=2).astype(jnp.float32)
+    cum_hits = jnp.cumsum(hits, axis=1)
+    num_targets = jnp.maximum(target_mask.sum(axis=1), 1)
+    precision = jnp.stack(
+        [cum_hits[:, k - 1] / k for k in k_values], axis=1)
+    recall = jnp.stack(
+        [cum_hits[:, k - 1] / num_targets for k in k_values], axis=1)
+    return precision, recall
+
+
+def precision_recall_score(model, test, train=None, k=10, batch_size=256,
+                           streaming=None):
     """Precision@k and recall@k for every user with test interactions.
 
     Parameters
     ----------
     k : int or array of int
+    streaming : bool, optional
+        Use the fused streaming top-k kernel (default: on TPU backends when
+        no train mask is needed and the model exposes dot-product factors).
 
     Returns
     -------
@@ -373,10 +409,27 @@ def precision_recall_score(model, test, train=None, k=10, batch_size=256):
     train_rows = (_padded_rows(train_csr, users)
                   if train_csr is not None else None)
 
+    use_streaming = ((_streaming_default() if streaming is None
+                      else streaming) and train_rows is None)
+    interpret = bool(use_streaming) and jax.default_backend() == 'cpu'
+
     precisions, recalls = [], []
     for start in range(0, len(users), batch_size):
         u = users[start:start + batch_size]
         t = jnp.asarray(targets[start:start + batch_size])
+
+        if use_streaming:
+            top_ids = _streaming_topk_hits(model, 'users', u,
+                                           max(k_values),
+                                           interpret=interpret)
+            if top_ids is not None:
+                p, r = _precision_recall_from_topk(top_ids, t, t >= 0,
+                                                   k_values)
+                precisions.append(np.asarray(p))
+                recalls.append(np.asarray(r))
+                continue
+            use_streaming = False
+
         scores = jnp.asarray(_score_user_batch(model, u))
         if train_rows is not None:
             scores = _mask_scores(
@@ -393,7 +446,8 @@ def precision_recall_score(model, test, train=None, k=10, batch_size=256):
 
 
 def sequence_precision_recall_score(model, test, k=10,
-                                    exclude_preceding=False, batch_size=256):
+                                    exclude_preceding=False, batch_size=256,
+                                    streaming=None):
     """Precision@k = recall@k of each sequence's last ``k`` elements given
     all preceding elements.
 
@@ -404,10 +458,26 @@ def sequence_precision_recall_score(model, test, k=10,
     sequences = test.sequences[:, :-k]
     targets = test.sequences[:, -k:]
 
+    use_streaming = ((_streaming_default() if streaming is None
+                      else streaming) and not exclude_preceding)
+    interpret = bool(use_streaming) and jax.default_backend() == 'cpu'
+
     precisions, recalls = [], []
     for start in range(0, len(sequences), batch_size):
         prefix = sequences[start:start + batch_size]
         t = jnp.asarray(targets[start:start + batch_size].astype(np.int64))
+
+        if use_streaming:
+            top_ids = _streaming_topk_hits(model, 'sequences', prefix, k,
+                                           interpret=interpret)
+            if top_ids is not None:
+                p, r = _precision_recall_from_topk(
+                    top_ids, t, jnp.ones_like(t, dtype=bool), (k,))
+                precisions.append(np.asarray(p[:, 0]))
+                recalls.append(np.asarray(r[:, 0]))
+                continue
+            use_streaming = False
+
         scores = _sequence_final_scores(model, prefix, exclude_preceding)
         p, r = _precision_recall_from_scores(
             jnp.asarray(scores), t, jnp.ones_like(t, dtype=bool), (k,))

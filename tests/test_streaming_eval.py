@@ -72,6 +72,31 @@ def test_streaming_sequence_mrr_exclude_preceding_matches(fitted_sequence):
     np.testing.assert_allclose(streamed, standard, rtol=1e-4, atol=1e-6)
 
 
+def test_streaming_precision_recall_matches(fitted_factorization):
+    from spotlight_tpu.evaluation import precision_recall_score
+
+    train, test, model = fitted_factorization
+    ks = np.array([1, 5, 10])
+    p_std, r_std = precision_recall_score(model, test, k=ks,
+                                          streaming=False)
+    p_str, r_str = precision_recall_score(model, test, k=ks,
+                                          streaming=True)
+    np.testing.assert_allclose(p_str, p_std, rtol=1e-6)
+    np.testing.assert_allclose(r_str, r_std, rtol=1e-6)
+
+
+def test_streaming_sequence_precision_recall_matches(fitted_sequence):
+    from spotlight_tpu.evaluation import sequence_precision_recall_score
+
+    _, test, model = fitted_sequence
+    p_std, r_std = sequence_precision_recall_score(model, test, k=4,
+                                                   streaming=False)
+    p_str, r_str = sequence_precision_recall_score(model, test, k=4,
+                                                   streaming=True)
+    np.testing.assert_allclose(p_str, p_std, rtol=1e-6)
+    np.testing.assert_allclose(r_str, r_std, rtol=1e-6)
+
+
 def test_streaming_falls_back_for_mixture():
     """Mixture scoring is not a dot product; the streaming path must fall
     back to the standard path rather than mis-evaluate."""
