@@ -87,19 +87,29 @@ class ImplicitFactorizationModel(_FactorizationBase):
         optimizer = self._optimizer
         batch_size = self._batch_size
 
+        fused = hasattr(net, 'apply_with_negatives')
+
         def elems_fn(params, batch, key):
             users, items = batch['user_ids'], batch['item_ids']
-            positive = net.apply(params, users, items)
+            shape = ((num_negatives,) + users.shape if adaptive
+                     else users.shape)
+            negative_items = sample_items_device(key, num_items, shape)
 
-            if adaptive:
-                negative_items = sample_items_device(
-                    key, num_items, (num_negatives,) + users.shape)
-                tiled_users = jnp.broadcast_to(users, negative_items.shape)
-                negative = net.apply(params, tiled_users, negative_items)
+            if fused:
+                # One user-row gather and one concatenated item gather
+                # (training is gather-latency bound; see
+                # docs/performance.md).
+                positive, negative = net.apply_with_negatives(
+                    params, users, items, negative_items)
             else:
-                negative_items = sample_items_device(
-                    key, num_items, users.shape)
-                negative = net.apply(params, users, negative_items)
+                positive = net.apply(params, users, items)
+                if adaptive:
+                    tiled_users = jnp.broadcast_to(
+                        users, negative_items.shape)
+                    negative = net.apply(params, tiled_users,
+                                         negative_items)
+                else:
+                    negative = net.apply(params, users, negative_items)
 
             return (loss_func(positive, negative, reduce=False),
                     batch['mask'])

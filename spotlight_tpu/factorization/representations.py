@@ -130,6 +130,44 @@ class BilinearNet:
         dot = jnp.sum(users * items, axis=-1)
         return dot + u_bias + i_bias
 
+    def apply_with_negatives(self, params, user_ids, item_ids,
+                             negative_item_ids):
+        """Score positives and sampled negatives with fused gathers.
+
+        Training throughput on TPU is bound by random-row HBM access
+        latency (docs/performance.md), so the win is touching fewer rows:
+        user vectors are gathered once (not once per positive + once per
+        negative/tile), and positive + negative item ids go through a
+        single concatenated gather.
+
+        Parameters
+        ----------
+        user_ids, item_ids : (B,) int
+        negative_item_ids : (B,) or (n, B) int
+
+        Returns
+        -------
+        (positive_scores, negative_scores) with shapes (B,) and
+        negative_item_ids.shape.
+        """
+        user_emb, item_emb, user_bias, item_bias = self._layers()
+
+        users = user_emb.apply(params['user_embeddings'], user_ids)
+        u_bias = user_bias.apply(params['user_biases'], user_ids)[..., 0]
+
+        stacked = negative_item_ids.ndim == item_ids.ndim + 1
+        negatives = (negative_item_ids if stacked
+                     else negative_item_ids[None])
+
+        all_items = jnp.concatenate([item_ids[None], negatives], axis=0)
+        vectors = item_emb.apply(params['item_embeddings'], all_items)
+        biases = item_bias.apply(params['item_biases'], all_items)[..., 0]
+
+        dots = jnp.sum(users[None] * vectors, axis=-1) + biases + u_bias
+        positive = dots[0]
+        negative = dots[1:] if stacked else dots[1]
+        return positive, negative
+
     def score_catalog(self, params, user_ids, item_matrix=None,
                       item_bias_vector=None):
         """Score a batch of users against the whole catalog on the MXU.

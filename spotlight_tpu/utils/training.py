@@ -153,7 +153,12 @@ def build_epoch_fn(elems_fn, optimizer, num_batches, batch_size,
 
 
 def check_degenerate(epoch_loss):
-    """Raise on NaN or exactly-zero epoch loss, matching the reference guard
-    (`factorization/implicit.py:250-252`)."""
-    if np.isnan(epoch_loss) or epoch_loss == 0.0:
+    """Raise on non-finite or exactly-zero epoch loss.
+
+    Superset of the reference guard (`factorization/implicit.py:250-252`,
+    NaN or 0.0): under XLA a diverging f32 loss can saturate at ``inf``
+    without ever producing the NaN that torch's eager arithmetic would, so
+    ``inf`` is treated as degenerate too.
+    """
+    if not np.isfinite(epoch_loss) or epoch_loss == 0.0:
         raise ValueError('Degenerate epoch loss: {}'.format(epoch_loss))

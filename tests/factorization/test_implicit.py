@@ -82,11 +82,17 @@ def test_bloom_embeddings(compression_ratio, expected_mrr):
 
 
 def test_degenerate_loss_raises():
-    """NaN losses must raise, matching the reference guard
-    (`factorization/implicit.py:250-252`)."""
+    """Exploding losses must raise, matching the reference guard
+    (`factorization/implicit.py:250-252`; extended to cover XLA's
+    inf-saturation — see ``training.check_degenerate``).  Uses the
+    unbounded hinge loss with plain SGD (also exercising the
+    ``optimizer_func`` escape hatch): Adam's normalized updates bound the
+    divergence rate, sigmoid losses cannot diverge at all."""
+    import optax
+
     train, _ = _data()
     model = ImplicitFactorizationModel(
-        n_iter=1, learning_rate=1e10,
+        loss='hinge', n_iter=1, optimizer_func=optax.sgd(1e10),
         random_state=np.random.RandomState(RANDOM_SEED))
     with pytest.raises(ValueError, match='Degenerate epoch loss'):
         for _ in range(20):
@@ -101,11 +107,12 @@ def test_resume_fitting_continues():
         loss='bpr', n_iter=2, batch_size=1024, learning_rate=1e-2,
         random_state=np.random.RandomState(RANDOM_SEED))
     model.fit(train)
-    params_before = model._params['user_embeddings']['weight']
+    # Copy to host before refitting: fit donates the parameter buffers
+    # (in-place table updates), invalidating old device references.
+    params_before = np.asarray(model._params['user_embeddings']['weight'])
     model.fit(train)
-    params_after = model._params['user_embeddings']['weight']
-    assert not np.allclose(np.asarray(params_before),
-                           np.asarray(params_after))
+    params_after = np.asarray(model._params['user_embeddings']['weight'])
+    assert not np.allclose(params_before, params_after)
 
 
 def test_input_validation():
