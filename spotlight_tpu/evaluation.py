@@ -67,14 +67,37 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
                    preferred_element_type=jnp.float32)
         + item_bias[safe_targets])
 
-    try:
-        greater, equal = rank_counts(reprs, item_matrix, item_bias,
-                                     target_scores, safe_targets,
-                                     interpret=interpret)
-    except Exception:
-        # Mosaic compile failures on unusual shapes fall back to the
-        # materialize-sort path rather than breaking evaluation.
-        return None
+    mesh = getattr(model, '_mesh', None)
+    if mesh is not None and mesh.shape.get('model', 1) > 1:
+        # Mesh-sharded tables: count per shard against resident rows and
+        # psum (parallel/evaluation.py) instead of gathering the table
+        # into one Pallas invocation.
+        from spotlight_tpu.parallel.evaluation import sharded_rank_counts
+
+        shards = mesh.shape['model']
+        pad = -item_matrix.shape[0] % shards
+        if pad:
+            # Pad to a shard multiple with rows that can never outrank a
+            # real item (zero vectors, -FLOAT_MAX bias).
+            item_matrix = jnp.concatenate(
+                [item_matrix,
+                 jnp.zeros((pad, item_matrix.shape[1]),
+                           item_matrix.dtype)])
+            item_bias = jnp.concatenate(
+                [item_bias, jnp.full((pad,), -FLOAT_MAX,
+                                     item_bias.dtype)])
+        greater, equal = sharded_rank_counts(
+            mesh, reprs, item_matrix, item_bias, target_scores,
+            safe_targets)
+    else:
+        try:
+            greater, equal = rank_counts(reprs, item_matrix, item_bias,
+                                         target_scores, safe_targets,
+                                         interpret=interpret)
+        except Exception:
+            # Mosaic compile failures on unusual shapes fall back to the
+            # materialize-sort path rather than breaking evaluation.
+            return None
 
     num_items = item_matrix.shape[0]
     if train_rows is not None:

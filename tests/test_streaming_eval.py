@@ -97,6 +97,35 @@ def test_streaming_sequence_precision_recall_matches(fitted_sequence):
     np.testing.assert_allclose(r_str, r_std, rtol=1e-6)
 
 
+def test_streaming_mrr_on_mesh_matches():
+    """With mesh-sharded tables, the streaming path routes through the
+    sharded rank-count collective and still matches the standard path."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+
+    from spotlight_tpu.parallel import make_mesh
+
+    interactions = factorization_dataset(
+        num_users=120, num_items=90, num_interactions=4000)
+    train, test = random_train_test_split(
+        interactions, random_state=np.random.RandomState(0))
+    model = ImplicitFactorizationModel(
+        loss='bpr', n_iter=2, batch_size=512,
+        mesh=make_mesh(data=2, model=4),
+        random_state=np.random.RandomState(42))
+    model.fit(train)
+
+    standard = mrr_score(model, test, train=train, streaming=False)
+    streamed = mrr_score(model, test, train=train, streaming=True)
+    # Per-shard matmul partial sums differ from the full matmul at the
+    # last float bit, which can shift ranks by +-1 near ties; allow that
+    # jitter while requiring tight aggregate agreement.
+    np.testing.assert_allclose(streamed, standard, rtol=0.05, atol=5e-3)
+    assert abs(streamed.mean() - standard.mean()) < 1e-3
+
+
 def test_streaming_falls_back_for_mixture():
     """Mixture scoring is not a dot product; the streaming path must fall
     back to the standard path rather than mis-evaluate."""
