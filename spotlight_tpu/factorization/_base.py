@@ -160,26 +160,42 @@ class _FactorizationBase(SerializableEstimatorMixin):
             return None
 
         @jax.jit
-        def factors(params, user_ids):
-            user_emb, item_emb, _user_bias, item_bias = net._layers()
-            reprs = user_emb.apply(params['user_embeddings'], user_ids)
+        def item_factors(params):
+            _user_emb, item_emb, _user_bias, item_bias = net._layers()
             all_items = jnp.arange(net.num_items, dtype=jnp.int32)
             matrix = item_emb.apply(params['item_embeddings'], all_items)
             bias = item_bias.apply(params['item_biases'], all_items)[..., 0]
+            return matrix, bias
+
+        @jax.jit
+        def user_reprs(params, user_ids):
+            user_emb, *_rest = net._layers()
             # The per-user bias shifts every item's score equally and so
             # cannot change ranks; it is dropped from the factors.
-            return reprs, matrix, bias
+            return user_emb.apply(params['user_embeddings'], user_ids)
 
-        return factors
+        return item_factors, user_reprs
 
     def _rank_factors_users(self, user_batch):
         """(user_reprs, item_matrix, item_bias) for the streaming rank
-        kernel, or None when the representation is not a dot-product."""
-        fn = self._rank_factors_jit
-        if fn is None:
+        kernel, or None when the representation is not a dot-product.
+
+        The densified item matrix is cached per parameter version so
+        batched evaluation pays the catalog gather once, not per batch."""
+        fns = self._rank_factors_jit
+        if fns is None:
             return None
-        return fn(self._params,
-                  jnp.asarray(np.asarray(user_batch, dtype=np.int32)))
+        item_factors, user_reprs = fns
+
+        cache = getattr(self, '_item_factor_cache', None)
+        if cache is None or cache[0] is not self._params:
+            cache = (self._params, item_factors(self._params))
+            self._item_factor_cache = cache
+        matrix, bias = cache[1]
+        reprs = user_reprs(
+            self._params, jnp.asarray(np.asarray(user_batch,
+                                                 dtype=np.int32)))
+        return reprs, matrix, bias
 
     def _raw_predictions(self, user_ids, item_ids):
         """Reference `_predict_process_ids` semantics

@@ -276,21 +276,35 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
             return None  # mixture/custom scoring is not a plain dot product
 
         @jax.jit
-        def factors(params, sequences):
-            _, final = net.user_representation(params, sequences)
-            matrix, bias = net._catalog_matrix(params)
-            return final, matrix, bias
+        def item_factors(params):
+            return net._catalog_matrix(params)
 
-        return factors
+        @jax.jit
+        def final_reprs(params, sequences):
+            _, final = net.user_representation(params, sequences)
+            return final
+
+        return item_factors, final_reprs
 
     def _rank_factors_sequences(self, prefix_batch):
         """(final_reprs, item_matrix, item_bias) for the streaming rank
-        kernel, or None for non-dot-product representations."""
-        fn = self._rank_factors_jit
-        if fn is None:
+        kernel, or None for non-dot-product representations.  The item
+        matrix is cached per parameter version (paid once, not per
+        evaluation batch)."""
+        fns = self._rank_factors_jit
+        if fns is None:
             return None
+        item_factors, final_reprs = fns
+
+        cache = getattr(self, '_item_factor_cache', None)
+        if cache is None or cache[0] is not self._params:
+            cache = (self._params, item_factors(self._params))
+            self._item_factor_cache = cache
+        matrix, bias = cache[1]
+
         prefix = np.atleast_2d(np.asarray(prefix_batch, dtype=np.int32))
-        return fn(self._params, jnp.asarray(prefix))
+        final = final_reprs(self._params, jnp.asarray(prefix))
+        return final, matrix, bias
 
     def _score_catalog_sequences(self, sequences):
         """(B, num_items) next-item scores for a batch of sequences — the

@@ -41,6 +41,7 @@ _UNPICKLABLE_FIELDS = (
     '_catalog_fn',
     '_epoch_fn_cache',
     '_rank_factors_jit',
+    '_item_factor_cache',
     '_mesh',               # holds live device objects; re-set after load to
                            # resume distributed training on a new mesh
 )
