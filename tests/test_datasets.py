@@ -15,7 +15,7 @@ def _cached(subdir, filename):
 
 
 @pytest.mark.skipif(
-    not _cached('movielens/v0.2.0', 'movielens_100K.hdf5'),
+    not _cached('movielens/v0.2.0', 'movielens_movielens_100K.hdf5'),
     reason='MovieLens cache not present (no network in CI)')
 def test_movielens_100k():
     from spotlight_tpu.data.movielens import get_movielens_dataset
