@@ -120,6 +120,72 @@ class ShardedEmbedding:
         return vectors
 
 
+def alltoall_lookup(weight_local, ids, axis='model'):
+    """Row-sharded lookup via explicit all-to-all id exchange.
+
+    The classic three-phase exchange (BASELINE.json north star): send each
+    id to its owning shard, gather locally there, return the rows.  Must be
+    called inside ``shard_map``; ``weight_local`` is this shard's
+    ``(rows_per_shard, dim)`` block and ``ids`` are global row indices
+    (replicated across the axis).
+
+    Phases, per device:
+
+    1. build per-destination request buckets ``(num_shards, n)`` (ids not
+       owned by the destination carry a ``-1`` sentinel) and exchange them
+       with ``all_to_all``;
+    2. serve received requests from the local block (non-owned sentinel
+       rows contribute zeros);
+    3. ``all_to_all`` the served rows back and sum over sources (each id
+       is owned by exactly one shard).
+
+    Gradients flow through the reversed all-to-alls back to the owning
+    shard's rows.  Note the result is *numerically* replicated across the
+    axis but typed as device-varying by the vma checker — the psum-based
+    :meth:`ShardedEmbedding.apply` (whose output is provably invariant) is
+    the default used in training; this primitive is exercised and tested
+    as the exchange-based alternative, and is the building block for a
+    capacity-factored variant where the batch is also sharded over the
+    table axis (see docs/parallelism.md).
+
+    Parameters
+    ----------
+    weight_local : (rows_per_shard, dim)
+    ids : int array, any shape
+    axis : mesh axis name
+
+    Returns
+    -------
+    ``ids.shape + (dim,)`` embedding rows.
+    """
+    num_shards = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    local_rows = weight_local.shape[0]
+
+    flat = ids.reshape(-1).astype(jnp.int32)
+    owner = flat // local_rows
+
+    dest = jax.lax.broadcasted_iota(jnp.int32, (num_shards, flat.shape[0]),
+                                    0)
+    requests = jnp.where(owner[None, :] == dest, flat[None, :], -1)
+
+    # Phase 1: requests[s] travels to shard s.
+    received = jax.lax.all_to_all(requests, axis, split_axis=0,
+                                  concat_axis=0)
+
+    # Phase 2: serve from the local block.
+    owned = (received >= me * local_rows) & (received <
+                                             (me + 1) * local_rows)
+    local_idx = jnp.where(owned, received - me * local_rows, 0)
+    served = jnp.where(owned[..., None], weight_local[local_idx], 0.0)
+
+    # Phase 3: served[s'] returns to requester s'; sum over owners.
+    returned = jax.lax.all_to_all(served, axis, split_axis=0,
+                                  concat_axis=0)
+    vectors = returned.sum(axis=0)
+    return vectors.reshape(ids.shape + (weight_local.shape[1],))
+
+
 def shard_params(params, specs, mesh):
     """Place a parameter pytree on a mesh according to a matching spec tree.
 
