@@ -8,31 +8,20 @@ and contiguous id remapping.  The remapping here is vectorized with
 
 from __future__ import annotations
 
-import h5py
 import numpy as np
 
-from spotlight_tpu.data import transport
 from spotlight_tpu.data.interactions import Interactions
+from spotlight_tpu.data.transport import fetch_hdf5_columns
+
+_URL = ('https://github.com/maciejkula/recommender_datasets/'
+        'releases/download/0.1.0/amazon_co_purchasing.hdf5')
+_COLUMNS = ('/user_id', '/item_id', '/rating', '/timestamp',
+            '/features_item_id', '/features_feature_id')
 
 
 def _download_amazon():
-    extension = '.hdf5'
-    url = ('https://github.com/maciejkula/recommender_datasets/'
-           'releases/download')
-    version = '0.1.0'
-
-    path = transport.get_data(
-        '/'.join((url, version, 'amazon_co_purchasing' + extension)),
-        'amazon',
-        'amazon_co_purchasing{}'.format(extension))
-
-    with h5py.File(path, 'r') as data:
-        return (data['/user_id'][:],
-                data['/item_id'][:],
-                data['/rating'][:],
-                data['/timestamp'][:],
-                data['/features_item_id'][:],
-                data['/features_feature_id'][:])
+    return fetch_hdf5_columns(_URL, 'amazon', 'amazon_co_purchasing.hdf5',
+                              _COLUMNS)
 
 
 def _filter_by_count(elements, min_count):

@@ -5,32 +5,29 @@ Equivalent of `/root/reference/spotlight/datasets/goodbooks.py:32`.
 
 from __future__ import annotations
 
-import h5py
 import numpy as np
 
-from spotlight_tpu.data import transport
 from spotlight_tpu.data.interactions import Interactions
+from spotlight_tpu.data.transport import fetch_hdf5_columns
 
-
-def _get_dataset():
-    path = transport.get_data(
-        'https://github.com/zygmuntz/goodbooks-10k/'
-        'releases/download/v1.0/goodbooks-10k.hdf5',
-        'goodbooks',
-        'goodbooks.hdf5')
-
-    with h5py.File(path, 'r') as data:
-        return (data['ratings'][:, 0],
-                data['ratings'][:, 1],
-                data['ratings'][:, 2].astype(np.float32),
-                np.arange(len(data['ratings']), dtype=np.int32))
+_URL = ('https://github.com/zygmuntz/goodbooks-10k/'
+        'releases/download/v1.0/goodbooks-10k.hdf5')
 
 
 def get_goodbooks_dataset():
     """Download (or read from cache) the goodbooks-10k dataset.
 
+    The file stores a single ``ratings`` matrix with (user, book, rating)
+    columns; interaction order stands in for timestamps.
+
     Returns
     -------
     :class:`~spotlight_tpu.data.interactions.Interactions`
     """
-    return Interactions(*_get_dataset())
+    (ratings_matrix,) = fetch_hdf5_columns(
+        _URL, 'goodbooks', 'goodbooks.hdf5', ('ratings',))
+    return Interactions(
+        ratings_matrix[:, 0],
+        ratings_matrix[:, 1],
+        ratings=ratings_matrix[:, 2].astype(np.float32),
+        timestamps=np.arange(len(ratings_matrix), dtype=np.int32))

@@ -1,38 +1,22 @@
 """MovieLens dataset fetchers (100K/1M/10M/20M).
 
-Equivalent of `/root/reference/spotlight/datasets/movielens.py:17,46`: fetches
-the HDF5-packaged MovieLens variants and returns an
-:class:`~spotlight_tpu.data.interactions.Interactions` instance.
+Equivalent of `/root/reference/spotlight/datasets/movielens.py:17,46`: the
+HDF5-packaged MovieLens variants as
+:class:`~spotlight_tpu.data.interactions.Interactions`.
 """
 
 from __future__ import annotations
 
 import os
 
-import h5py
-
-from spotlight_tpu.data import transport
 from spotlight_tpu.data.interactions import Interactions
+from spotlight_tpu.data.transport import fetch_hdf5_columns
 
 VARIANTS = ('100K', '1M', '10M', '20M')
 
-URL_PREFIX = ('https://github.com/maciejkula/recommender_datasets/'
-              'releases/download')
-VERSION = 'v0.2.0'
-
-
-def _get_movielens(dataset):
-    extension = '.hdf5'
-    path = transport.get_data(
-        '/'.join((URL_PREFIX, VERSION, dataset + extension)),
-        os.path.join('movielens', VERSION),
-        'movielens_{}{}'.format(dataset, extension))
-
-    with h5py.File(path, 'r') as data:
-        return (data['/user_id'][:],
-                data['/item_id'][:],
-                data['/rating'][:],
-                data['/timestamp'][:])
+_RELEASE = ('https://github.com/maciejkula/recommender_datasets/'
+            'releases/download/v0.2.0')
+_COLUMNS = ('/user_id', '/item_id', '/rating', '/timestamp')
 
 
 def get_movielens_dataset(variant='100K'):
@@ -50,5 +34,13 @@ def get_movielens_dataset(variant='100K'):
         raise ValueError('Variant must be one of {}, '
                          'got {}.'.format(VARIANTS, variant))
 
-    url = 'movielens_{}'.format(variant)
-    return Interactions(*_get_movielens(url))
+    # Cache filename quirk kept from the reference: prefix applied twice.
+    filename = 'movielens_movielens_{}.hdf5'.format(variant)
+    columns = fetch_hdf5_columns(
+        '{}/movielens_{}.hdf5'.format(_RELEASE, variant),
+        os.path.join('movielens', 'v0.2.0'),
+        filename,
+        _COLUMNS)
+    users, items, ratings, timestamps = columns
+    return Interactions(users, items, ratings=ratings,
+                        timestamps=timestamps)

@@ -47,3 +47,16 @@ def get_data(url, dest_subdir, dest_filename, download_if_missing=True):
             raise IOError('Dataset missing.')
 
     return dest_path
+
+
+def fetch_hdf5_columns(url, dest_subdir, dest_filename, columns):
+    """Download-or-open an HDF5 dataset file and read the given columns.
+
+    Shared by every dataset fetcher: resolves the cache path, then returns
+    ``tuple(file[column][:] for column in columns)``.
+    """
+    import h5py
+
+    path = get_data(url, dest_subdir, dest_filename)
+    with h5py.File(path, 'r') as data:
+        return tuple(data[column][:] for column in columns)

@@ -13,41 +13,31 @@ from spotlight_tpu.data import (Interactions, random_train_test_split)
 from tests._fixtures import sequential_dataset
 
 
-def _test_just_padding(sequences):
-    """There should be no rows with only padding in them."""
-    row_sum = sequences.sum(axis=1)
-    assert len(row_sum) == sequences.shape[0]
-    assert np.all(row_sum > 0)
+def _check_window_invariants(sequence_users, sequences, step_size,
+                             interactions):
+    """The reference's full battery of windowing invariants
+    (`tests/test_interactions.py:10-64`), in one pass:
 
+    - no all-padding rows, and the final column is always a real item;
+    - consecutive rows of the same user are shifted copies (stride = step);
+    - within each window, items appear in that user's timestamp order.
+    """
+    assert (sequences.sum(axis=1) > 0).all()
+    assert (sequences[:, -1] > 0).all()
 
-def _test_final_column_no_padding(sequences):
-    assert np.all(sequences[:, -1] > 0)
+    same_user = sequence_users[1:] == sequence_users[:-1]
+    for i in np.where(same_user)[0] + 1:
+        np.testing.assert_array_equal(sequences[i][step_size:],
+                                      sequences[i - 1][:-step_size])
 
-
-def _test_shifted(sequence_users, sequences, step_size):
-    """Unless there was a change of user, row i + 1's interactions should
-    contain row i's interactions shifted to the right by step size."""
-    for i in range(1, len(sequences)):
-        if sequence_users[i] != sequence_users[i - 1]:
-            continue
-        assert np.all(sequences[i][step_size:] == sequences[i - 1][:-step_size])
-
-
-def _test_temporal_order(sequence_users, sequences, interactions):
-    interaction_matrix = interactions.tocoo()
-    interaction_matrix.data = interactions.timestamps
-    interaction_matrix = interaction_matrix.tocsr().todense()
-
-    for i, sequence in enumerate(sequences):
-        user_id = sequence_users[i]
-        nonpadded_sequence = sequence[sequence != 0]
-
-        for j in range(0, len(nonpadded_sequence) - 1):
-            item_id = nonpadded_sequence[j]
-            next_item_id = nonpadded_sequence[j + 1]
-            item_timestamp = interaction_matrix[user_id, item_id]
-            next_item_timestamp = interaction_matrix[user_id, next_item_id]
-            assert item_timestamp <= next_item_timestamp
+    timestamp_lookup = interactions.tocoo()
+    timestamp_lookup.data = interactions.timestamps
+    timestamp_lookup = timestamp_lookup.tocsr()
+    for user_id, row in zip(sequence_users, sequences):
+        window = row[row != 0]
+        stamps = np.asarray(
+            [timestamp_lookup[user_id, item] for item in window])
+        assert (np.diff(stamps) >= 0).all()
 
 
 def test_known_output_step_1():
@@ -134,10 +124,8 @@ def test_to_sequence(max_sequence_length, step_size):
     else:
         assert sequences.sequences.shape[1] == max_sequence_length
 
-    _test_just_padding(sequences.sequences)
-    _test_final_column_no_padding(sequences.sequences)
-    _test_shifted(sequences.user_ids, sequences.sequences, step_size)
-    _test_temporal_order(sequences.user_ids, sequences.sequences, interactions)
+    _check_window_invariants(sequences.user_ids, sequences.sequences,
+                             step_size, interactions)
 
 
 def test_to_sequence_min_length():
