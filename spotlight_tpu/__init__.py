@@ -15,3 +15,22 @@ and full-catalog ranking evaluation — built TPU-first:
 """
 
 __version__ = '0.1.0'
+
+
+def __getattr__(name):
+    """Convenience top-level access to the main estimators and data types
+    (submodule imports, reference-style, remain the canonical paths)."""
+    from importlib import import_module
+
+    homes = {
+        'ExplicitFactorizationModel': 'spotlight_tpu.factorization',
+        'ImplicitFactorizationModel': 'spotlight_tpu.factorization',
+        'BilinearNet': 'spotlight_tpu.factorization',
+        'ImplicitSequenceModel': 'spotlight_tpu.sequence',
+        'Interactions': 'spotlight_tpu.data',
+        'SequenceInteractions': 'spotlight_tpu.data',
+    }
+    if name in homes:
+        return getattr(import_module(homes[name]), name)
+    raise AttributeError(
+        'module {!r} has no attribute {!r}'.format(__name__, name))

@@ -146,6 +146,25 @@ def test_implicit_distributed_learns():
     assert mrr_score(model, test, train=train).mean() > 0.03
 
 
+@pytest.mark.parametrize('representation', ['pooling', 'cnn', 'mixture'])
+def test_all_representations_train_on_mesh(representation):
+    """Every sequence family compiles and executes the full distributed
+    step (item tables sharded, dense towers replicated)."""
+    from spotlight_tpu.data.interactions import SequenceInteractions
+    from spotlight_tpu.sequence import ImplicitSequenceModel
+
+    rs = np.random.RandomState(0)
+    data = SequenceInteractions(
+        rs.randint(1, 50, size=(256, 6)).astype(np.int32), num_items=50)
+    model = ImplicitSequenceModel(
+        loss='adaptive_hinge', representation=representation,
+        embedding_dim=16, batch_size=64, n_iter=1,
+        mesh=make_mesh(data=2, model=4),
+        random_state=np.random.RandomState(1))
+    model.fit(data)
+    assert model.predict(data.sequences[0]).shape == (50,)
+
+
 def test_sequence_distributed_learns():
     from spotlight_tpu.data import user_based_train_test_split
     from spotlight_tpu.evaluation import sequence_mrr_score
