@@ -104,6 +104,9 @@ class _FactorizationBase(SerializableEstimatorMixin):
             self._opt_state = self._optimizer.init(self._params)
 
     def _check_input(self, user_ids, item_ids, allow_items_none=False):
+        if not self._initialized:
+            raise RuntimeError(
+                'Model has not been fitted; call fit() first.')
         if isinstance(user_ids, (int, np.integer)):
             user_id_max = user_ids
         else:

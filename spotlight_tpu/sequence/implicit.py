@@ -165,6 +165,9 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
             self._opt_state = self._optimizer.init(self._params)
 
     def _check_input(self, item_ids):
+        if not self._initialized:
+            raise RuntimeError(
+                'Model has not been fitted; call fit() first.')
         if isinstance(item_ids, (int, np.integer)):
             item_id_max = item_ids
         else:

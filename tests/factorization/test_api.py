@@ -63,3 +63,15 @@ def test_sequence_predict_consistency():
     subset = model.predict(seq, item_ids=item_ids)
     np.testing.assert_allclose(subset, all_scores[item_ids],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_unfitted_predict_raises_clearly():
+    model = ImplicitFactorizationModel()
+    with pytest.raises(RuntimeError, match='call fit'):
+        model.predict(0)
+
+    from spotlight_tpu.sequence import ImplicitSequenceModel
+
+    seq_model = ImplicitSequenceModel()
+    with pytest.raises(RuntimeError, match='call fit'):
+        seq_model.predict(np.array([1, 2, 3]))
