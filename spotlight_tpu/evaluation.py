@@ -67,6 +67,8 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
                    preferred_element_type=jnp.float32)
         + item_bias[safe_targets])
 
+    num_items = item_matrix.shape[0]  # before any shard padding
+
     mesh = getattr(model, '_mesh', None)
     if mesh is not None and mesh.shape.get('model', 1) > 1:
         # Mesh-sharded tables: count per shard against resident rows and
@@ -99,7 +101,6 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
             # materialize-sort path rather than breaking evaluation.
             return None
 
-    num_items = item_matrix.shape[0]
     if train_rows is not None:
         train_rows = jnp.asarray(train_rows, dtype=jnp.int32)  # (B, Tr)
         valid_train = train_rows >= 0
