@@ -40,7 +40,14 @@ def make_optimizer(learning_rate, l2, optimizer_func=None):
     if optimizer_func is not None:
         if callable(optimizer_func) and not isinstance(
                 optimizer_func, optax.GradientTransformation):
-            return optimizer_func()
+            try:
+                return optimizer_func()
+            except TypeError as error:
+                raise TypeError(
+                    'optimizer_func must be an optax.GradientTransformation '
+                    'or a zero-argument callable returning one (unlike the '
+                    'torch reference, it does not receive parameters): {}'
+                    .format(error)) from error
         return optimizer_func
     transforms = []
     if l2:
