@@ -146,6 +146,37 @@ def test_implicit_distributed_learns():
     assert mrr_score(model, test, train=train).mean() > 0.03
 
 
+def test_bloom_tables_replicate_on_mesh():
+    """Bloom-compressed layers stay replicated (they are small by
+    construction); the mixed sharded-bias/replicated-table model trains."""
+    from spotlight_tpu.factorization import BilinearNet
+    from spotlight_tpu.ops import BloomEmbedding
+
+    interactions = factorization_dataset(
+        num_users=120, num_items=90, num_interactions=4000)
+    train, test = random_train_test_split(
+        interactions, random_state=np.random.RandomState(0))
+
+    representation = BilinearNet(
+        train.num_users, train.num_items, 16,
+        user_embedding_layer=BloomEmbedding(train.num_users, 16,
+                                            compression_ratio=0.5),
+        item_embedding_layer=BloomEmbedding(train.num_items, 16,
+                                            compression_ratio=0.5))
+    model = ImplicitFactorizationModel(
+        loss='bpr', n_iter=2, batch_size=256,
+        representation=representation, mesh=make_mesh(data=2, model=4),
+        random_state=np.random.RandomState(42))
+    model.fit(train)
+
+    # Compressed tables replicated, bias tables row-sharded.
+    specs = model._param_specs
+    assert specs['user_embeddings']['weight'] == P()
+    assert specs['user_biases']['weight'] == P('model', None)
+    assert model.predict(0).shape == (90,)
+    assert np.isfinite(mrr_score(model, test).mean())
+
+
 @pytest.mark.parametrize('representation', ['pooling', 'cnn', 'mixture'])
 def test_all_representations_train_on_mesh(representation):
     """Every sequence family compiles and executes the full distributed
