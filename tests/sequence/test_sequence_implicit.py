@@ -4,7 +4,15 @@ reference's learnable-vs-random contrast strategy
 Markov chain (concentration 1e-3) must be learned to high MRR, a near-random
 chain (1e2) must still clear the chance floor.  Thresholds are the
 reference's own gates; hyperparameters are tuned per representation exactly
-as the reference does."""
+as the reference does.
+
+Like the reference, the fixture seed is pinned (RANDOM_SEED = 42): the
+generated chain's intrinsic learnability varies across generation seeds
+(e.g. the same LSTM config reaches 0.63-0.68 at seed 42 but ~0.49 at seed
+123 on that seed's harder chain), so the gates are calibrated against the
+pinned fixture — the reference's methodology.  Cross-implementation
+accuracy parity on identical data is checked separately
+(`scripts/parity_vs_reference.py`, docs/parity.md)."""
 
 import numpy as np
 import pytest
