@@ -1,1 +1,18 @@
-"""Pallas TPU kernels for the framework's hot paths."""
+"""Pallas TPU kernels for the framework's hot paths.
+
+- :func:`~spotlight_tpu.ops.kernels.ranking.rank_counts` /
+  :func:`~spotlight_tpu.ops.kernels.ranking.reciprocal_ranks_streaming` —
+  fused catalog scoring + average-tie rank counting (MRR fast path).
+- :func:`~spotlight_tpu.ops.kernels.topk.streaming_topk` — fused scoring +
+  exact running top-k (precision@k fast path).
+- :func:`~spotlight_tpu.ops.kernels.bloom.bloom_gather_sum` — multi-hash
+  bloom gather with pipelined row DMAs (benchmarked alternative to the XLA
+  gather; see docs/kernels.md).
+"""
+
+from spotlight_tpu.ops.kernels.bloom import bloom_gather_sum  # noqa: F401
+from spotlight_tpu.ops.kernels.ranking import (  # noqa: F401
+    rank_counts,
+    reciprocal_ranks_streaming,
+)
+from spotlight_tpu.ops.kernels.topk import streaming_topk  # noqa: F401
