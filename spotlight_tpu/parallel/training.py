@@ -31,25 +31,31 @@ from jax import shard_map
 
 
 def opt_specs_like(opt_state, params, param_specs):
-    """Build a PartitionSpec tree for optimizer state by shape-matching
-    against the parameter spec tree.
+    """Build a PartitionSpec tree for optimizer state by structure-matching
+    against the parameter tree.
 
-    Optimizer moments (Adam's mu/nu) have exactly the parameters' shapes and
-    inherit their specs; everything else (step counts, scalars) replicates.
-    Collisions are benign: two parameters with identical shapes are sharded
-    identically by construction (all tables shard over the same axis).
+    Optimizer moments (Adam's mu/nu) are pytrees with exactly the
+    parameters' structure and inherit the parameters' specs wholesale;
+    every other subtree (step counts, empty states) replicates.  Matching
+    on tree *structure* (not leaf shapes) cannot mis-shard a dense
+    parameter that coincidentally shares a table's shape.
     """
-    shape_to_spec = {}
-    for leaf, spec in zip(
-            jax.tree_util.tree_leaves(params),
-            jax.tree_util.tree_leaves(
-                param_specs, is_leaf=lambda x: isinstance(x, P))):
-        shape_to_spec[tuple(leaf.shape)] = spec
+    params_treedef = jax.tree_util.tree_structure(params)
 
-    def spec_for(leaf):
-        return shape_to_spec.get(tuple(jnp.shape(leaf)), P())
+    def is_params_like(subtree):
+        try:
+            return (jax.tree_util.tree_structure(subtree) ==
+                    params_treedef)
+        except Exception:
+            return False
 
-    return jax.tree_util.tree_map(spec_for, opt_state)
+    def assign(subtree):
+        if is_params_like(subtree):
+            return param_specs
+        return jax.tree_util.tree_map(lambda _: P(), subtree)
+
+    return jax.tree_util.tree_map(assign, opt_state,
+                                  is_leaf=is_params_like)
 
 
 def epoch_scan_distributed(params, opt_state, key, data, num_batches,
