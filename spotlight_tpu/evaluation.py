@@ -374,8 +374,17 @@ def _precision_recall_from_scores(scores, targets, target_mask, k_values):
     return precision, recall
 
 
-def _streaming_topk_hits(model, kind, inputs, k_max, interpret=False):
-    """(B, k_max) top item ids via the streaming top-k kernel, or None."""
+def _streaming_topk_hits(model, kind, inputs, k_max, train_rows=None,
+                         interpret=False):
+    """(B, k_max) top *unmasked* item ids via the streaming top-k kernel,
+    or None when the model/kernel cannot serve the request.
+
+    Train masking works by over-fetching: the kernel returns the top
+    ``k_max + train_width`` candidates (a user can have at most
+    ``train_width`` of their train items inside any top window), then
+    masked ids are compacted out and the first ``k_max`` survivors kept —
+    matching the reference's FLOAT_MAX demotion semantics.
+    """
     from spotlight_tpu.ops.kernels.topk import streaming_topk
 
     factors_fn = getattr(model, '_rank_factors_' + kind, None)
@@ -385,12 +394,29 @@ def _streaming_topk_hits(model, kind, inputs, k_max, interpret=False):
     if factors is None:
         return None
     reprs, item_matrix, item_bias = factors
+
+    fetch = k_max
+    if train_rows is not None:
+        fetch = k_max + train_rows.shape[1]
+    if fetch > item_matrix.shape[0]:
+        return None
+
     try:
-        _, top_ids = streaming_topk(reprs, item_matrix, item_bias, k_max,
+        _, top_ids = streaming_topk(reprs, item_matrix, item_bias, fetch,
                                     interpret=interpret)
     except Exception:
         return None
-    return top_ids
+
+    if train_rows is None:
+        return top_ids
+
+    train = jnp.asarray(train_rows, dtype=jnp.int32)       # (B, Tr)
+    masked = jnp.any(top_ids[:, :, None] == train[:, None, :], axis=2)
+    # Stable compaction: masked entries sort after unmasked ones while
+    # unmasked entries keep their rank order.
+    order = jnp.argsort(masked.astype(jnp.int32), axis=1, stable=True)
+    compacted = jnp.take_along_axis(top_ids, order, axis=1)
+    return compacted[:, :k_max]
 
 
 def _precision_recall_from_topk(top_ids, targets, target_mask, k_values):
@@ -433,18 +459,20 @@ def precision_recall_score(model, test, train=None, k=10, batch_size=256,
     train_rows = (_padded_rows(train_csr, users)
                   if train_csr is not None else None)
 
-    use_streaming = ((_streaming_default() if streaming is None
-                      else streaming) and train_rows is None)
+    use_streaming = (_streaming_default() if streaming is None
+                     else streaming)
     interpret = bool(use_streaming) and jax.default_backend() == 'cpu'
 
     precisions, recalls = [], []
     for start in range(0, len(users), batch_size):
         u = users[start:start + batch_size]
         t = jnp.asarray(targets[start:start + batch_size])
+        tr = (train_rows[start:start + batch_size]
+              if train_rows is not None else None)
 
         if use_streaming:
             top_ids = _streaming_topk_hits(model, 'users', u,
-                                           max(k_values),
+                                           max(k_values), train_rows=tr,
                                            interpret=interpret)
             if top_ids is not None:
                 p, r = _precision_recall_from_topk(top_ids, t, t >= 0,
@@ -482,8 +510,8 @@ def sequence_precision_recall_score(model, test, k=10,
     sequences = test.sequences[:, :-k]
     targets = test.sequences[:, -k:]
 
-    use_streaming = ((_streaming_default() if streaming is None
-                      else streaming) and not exclude_preceding)
+    use_streaming = (_streaming_default() if streaming is None
+                     else streaming)
     interpret = bool(use_streaming) and jax.default_backend() == 'cpu'
 
     precisions, recalls = [], []
@@ -492,7 +520,10 @@ def sequence_precision_recall_score(model, test, k=10,
         t = jnp.asarray(targets[start:start + batch_size].astype(np.int64))
 
         if use_streaming:
+            masked_rows = (_dedup_rows(prefix.astype(np.int64))
+                           if exclude_preceding else None)
             top_ids = _streaming_topk_hits(model, 'sequences', prefix, k,
+                                           train_rows=masked_rows,
                                            interpret=interpret)
             if top_ids is not None:
                 p, r = _precision_recall_from_topk(

@@ -85,6 +85,21 @@ def test_streaming_precision_recall_matches(fitted_factorization):
     np.testing.assert_allclose(r_str, r_std, rtol=1e-6)
 
 
+def test_streaming_precision_recall_with_train_mask_matches(
+        fitted_factorization):
+    """Train-masked streaming top-k (over-fetch + compaction) reproduces
+    the FLOAT_MAX-demotion semantics of the standard path."""
+    from spotlight_tpu.evaluation import precision_recall_score
+
+    train, test, model = fitted_factorization
+    p_std, r_std = precision_recall_score(model, test, train=train, k=10,
+                                          streaming=False)
+    p_str, r_str = precision_recall_score(model, test, train=train, k=10,
+                                          streaming=True)
+    np.testing.assert_allclose(p_str, p_std, rtol=1e-6)
+    np.testing.assert_allclose(r_str, r_std, rtol=1e-6)
+
+
 def test_streaming_sequence_precision_recall_matches(fitted_sequence):
     from spotlight_tpu.evaluation import sequence_precision_recall_score
 
@@ -141,3 +156,15 @@ def test_streaming_falls_back_for_mixture():
         sequences.sequences[:4, :-1]) is None
     out = sequence_mrr_score(model, sequences, streaming=True)
     assert out.shape == (len(sequences.sequences),)
+
+
+def test_streaming_sequence_pr_exclude_preceding_matches(fitted_sequence):
+    from spotlight_tpu.evaluation import sequence_precision_recall_score
+
+    _, test, model = fitted_sequence
+    p_std, r_std = sequence_precision_recall_score(
+        model, test, k=4, exclude_preceding=True, streaming=False)
+    p_str, r_str = sequence_precision_recall_score(
+        model, test, k=4, exclude_preceding=True, streaming=True)
+    np.testing.assert_allclose(p_str, p_std, rtol=1e-6)
+    np.testing.assert_allclose(r_str, r_std, rtol=1e-6)
