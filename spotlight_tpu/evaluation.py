@@ -401,11 +401,30 @@ def _streaming_topk_hits(model, kind, inputs, k_max, train_rows=None,
     if fetch > item_matrix.shape[0]:
         return None
 
-    try:
-        _, top_ids = streaming_topk(reprs, item_matrix, item_bias, fetch,
-                                    interpret=interpret)
-    except Exception:
-        return None
+    mesh = getattr(model, '_mesh', None)
+    if mesh is not None and mesh.shape.get('model', 1) > 1:
+        # Mesh-sharded tables: per-shard top-k + tournament merge instead
+        # of a single-device kernel over a sharded array.
+        from spotlight_tpu.parallel.evaluation import sharded_topk
+
+        shards = mesh.shape['model']
+        pad = -item_matrix.shape[0] % shards
+        if pad:
+            item_matrix = jnp.concatenate(
+                [item_matrix,
+                 jnp.zeros((pad, item_matrix.shape[1]),
+                           item_matrix.dtype)])
+            item_bias = jnp.concatenate(
+                [item_bias, jnp.full((pad,), -FLOAT_MAX,
+                                     item_bias.dtype)])
+        _, top_ids = sharded_topk(mesh, reprs, item_matrix, item_bias,
+                                  fetch)
+    else:
+        try:
+            _, top_ids = streaming_topk(reprs, item_matrix, item_bias,
+                                        fetch, interpret=interpret)
+        except Exception:
+            return None
 
     if train_rows is None:
         return top_ids

@@ -55,9 +55,23 @@ def sharded_topk(mesh, user_reprs, item_matrix, item_bias, k,
     def local_topk(users, items_local, bias_local):
         scores = jnp.dot(users, items_local.T,
                          preferred_element_type=jnp.float32) + bias_local
-        local_scores, local_idx = jax.lax.top_k(scores, k)
+        # A shard can hold fewer than k rows; pad its candidate list so
+        # every shard contributes exactly k entries to the merge.
+        local_k = min(k, local_rows)
+        local_scores, local_idx = jax.lax.top_k(scores, local_k)
         shard = jax.lax.axis_index(axis)
-        return local_scores, local_idx + shard * local_rows
+        global_idx = local_idx + shard * local_rows
+        if local_k < k:
+            pad = k - local_k
+            local_scores = jnp.concatenate(
+                [local_scores,
+                 jnp.full((scores.shape[0], pad), -jnp.inf,
+                          local_scores.dtype)], axis=1)
+            global_idx = jnp.concatenate(
+                [global_idx,
+                 jnp.full((scores.shape[0], pad), jnp.int32(2 ** 30),
+                          global_idx.dtype)], axis=1)
+        return local_scores, global_idx
 
     # Per-shard candidates concatenate along the trailing axis; the final
     # tournament merge over num_shards * k entries runs in the global view

@@ -168,3 +168,34 @@ def test_streaming_sequence_pr_exclude_preceding_matches(fitted_sequence):
         model, test, k=4, exclude_preceding=True, streaming=True)
     np.testing.assert_allclose(p_str, p_std, rtol=1e-6)
     np.testing.assert_allclose(r_str, r_std, rtol=1e-6)
+
+
+def test_streaming_precision_recall_on_mesh_matches():
+    """With mesh-sharded tables, P@k routes through the per-shard top-k
+    tournament merge and matches the standard path exactly (top-k is not
+    tie-sensitive the way average ranks are: candidate selection happens
+    per shard on identical local matmuls)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+
+    from spotlight_tpu.evaluation import precision_recall_score
+    from spotlight_tpu.parallel import make_mesh
+
+    interactions = factorization_dataset(
+        num_users=120, num_items=90, num_interactions=4000)
+    train, test = random_train_test_split(
+        interactions, random_state=np.random.RandomState(0))
+    model = ImplicitFactorizationModel(
+        loss='bpr', n_iter=2, batch_size=512,
+        mesh=make_mesh(data=2, model=4),
+        random_state=np.random.RandomState(42))
+    model.fit(train)
+
+    p_std, r_std = precision_recall_score(model, test, train=train, k=10,
+                                          streaming=False)
+    p_str, r_str = precision_recall_score(model, test, train=train, k=10,
+                                          streaming=True)
+    np.testing.assert_allclose(p_str, p_std, rtol=1e-6)
+    np.testing.assert_allclose(r_str, r_std, rtol=1e-6)
