@@ -119,12 +119,12 @@ class ExplicitFactorizationModel(_FactorizationBase):
 
         n = len(user_ids)
         padded, num_batches = training.pad_to_batches(n, self._batch_size)
-        data = {
-            'user_ids': jnp.asarray(training.pad_array(user_ids, padded)),
-            'item_ids': jnp.asarray(training.pad_array(item_ids, padded)),
-            'ratings': jnp.asarray(training.pad_array(ratings, padded)),
-            'mask': jnp.asarray(training.valid_mask(n, padded)),
-        }
+        data = training.place_data({
+            'user_ids': training.pad_array(user_ids, padded),
+            'item_ids': training.pad_array(item_ids, padded),
+            'ratings': training.pad_array(ratings, padded),
+            'mask': training.valid_mask(n, padded),
+        }, self._mesh)
 
         epoch_fn = self._epoch_fn(num_batches)
         for epoch_num in range(self._n_iter):

@@ -237,10 +237,10 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
 
         n = len(sequences)
         padded, num_batches = training.pad_to_batches(n, self._batch_size)
-        data = {
-            'sequences': jnp.asarray(training.pad_array(sequences, padded)),
-            'mask': jnp.asarray(training.valid_mask(n, padded)),
-        }
+        data = training.place_data({
+            'sequences': training.pad_array(sequences, padded),
+            'mask': training.valid_mask(n, padded),
+        }, self._mesh)
 
         epoch_fn = self._epoch_fn(num_batches)
         for epoch_num in range(self._n_iter):

@@ -124,6 +124,24 @@ def epoch_scan(params, opt_state, key, data, num_batches, batch_size,
     return params, opt_state, jnp.mean(losses)
 
 
+def place_data(data, mesh):
+    """Place epoch data arrays for the mesh (or default device).
+
+    With a mesh, the id/mask arrays are explicitly replicated across all
+    chips up front: they are small (ints per interaction), and replication
+    means the per-batch shard_map slices never pull data from one source
+    chip mid-epoch.
+    """
+    if mesh is None:
+        return {name: jnp.asarray(value) for name, value in data.items()}
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sharding = NamedSharding(mesh, PartitionSpec())
+    return {name: jax.device_put(np.asarray(value), sharding)
+            for name, value in data.items()}
+
+
 def build_epoch_fn(elems_fn, optimizer, num_batches, batch_size,
                    mesh=None, param_specs=None, opt_specs=None):
     """Compile an epoch function from an elementwise-loss builder.
