@@ -3,6 +3,7 @@
 from spotlight_tpu.ops.embeddings import (  # noqa: F401
     BloomEmbedding,
     ScaledEmbedding,
+    ScaledEmbeddingBag,
     ZeroEmbedding,
 )
 from spotlight_tpu.ops.losses import (  # noqa: F401

@@ -104,6 +104,58 @@ class ZeroEmbedding:
 
 
 @dataclasses.dataclass(frozen=True)
+class ScaledEmbeddingBag:
+    """Embedding table with fused gather-and-sum lookup.
+
+    Equivalent of the reference's ``ScaledEmbeddingBag``
+    (`/root/reference/spotlight/layers.py:59`, torch ``nn.EmbeddingBag``
+    with ``mode='sum'``): looking up a bag of ids returns the *sum* of
+    their rows.  On TPU this is simply a gather followed by a reduction,
+    which XLA fuses — there is no separate fast path to opt into, so this
+    layer exists for API parity and for expressing bag semantics directly.
+    """
+
+    num_embeddings: int
+    embedding_dim: int
+    mode: str = 'sum'
+    sparse: bool = False
+
+    def __post_init__(self):
+        if self.mode != 'sum':
+            raise ValueError("Only mode='sum' is supported "
+                             '(the reference uses no other mode).')
+
+    def init(self, key, dtype=jnp.float32):
+        weight = (jax.random.normal(
+            key, (self.num_embeddings, self.embedding_dim), dtype=dtype)
+            / self.embedding_dim)
+        return {'weight': weight}
+
+    def apply(self, params, ids, offsets=None):
+        """Sum embedding rows per bag.
+
+        Parameters
+        ----------
+        ids : int array
+            Without ``offsets``: shape ``(..., bag_size)``; rows are summed
+            over the last axis.  With ``offsets``: a flat 1-D id array.
+        offsets : 1-D int array, optional
+            Bag start positions into flat ``ids`` (torch EmbeddingBag
+            convention); bag ``b`` covers ``ids[offsets[b]:offsets[b+1]]``.
+        """
+        weight = params['weight']
+        if offsets is None:
+            return weight[ids].sum(axis=-2)
+
+        ids = ids.reshape(-1)
+        offsets = offsets.reshape(-1)
+        positions = jnp.arange(ids.shape[0])
+        segment_ids = jnp.searchsorted(offsets, positions, side='right') - 1
+        return jax.ops.segment_sum(weight[ids], segment_ids,
+                                   num_segments=offsets.shape[0])
+
+
+@dataclasses.dataclass(frozen=True)
 class BloomEmbedding:
     """Bloom-filter-compressed embedding table.
 

@@ -96,3 +96,27 @@ def test_bloom_collision_rate_reasonable(random_state):
     signatures = set(map(tuple, rows))
     collision_rate = 1.0 - len(signatures) / len(ids)
     assert collision_rate < 0.01
+
+
+def test_scaled_embedding_bag_modes(random_state):
+    from spotlight_tpu.ops import ScaledEmbeddingBag
+
+    bag = ScaledEmbeddingBag(100, 8)
+    params = bag.init(jax.random.PRNGKey(3))
+
+    ids = jnp.asarray(random_state.randint(0, 100, (4, 5)))
+    out = bag.apply(params, ids)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(params['weight'])[np.asarray(ids)].sum(1),
+        rtol=1e-6)
+
+    # Ragged bags via torch-style offsets.
+    flat = jnp.asarray([1, 2, 3, 10, 11])
+    offsets = jnp.asarray([0, 3])
+    ragged = np.asarray(bag.apply(params, flat, offsets))
+    w = np.asarray(params['weight'])
+    np.testing.assert_allclose(ragged[0], w[[1, 2, 3]].sum(0), rtol=1e-6)
+    np.testing.assert_allclose(ragged[1], w[[10, 11]].sum(0), rtol=1e-6)
+
+    with pytest.raises(ValueError, match='sum'):
+        ScaledEmbeddingBag(10, 4, mode='mean')
