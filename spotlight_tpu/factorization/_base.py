@@ -30,7 +30,7 @@ class _FactorizationBase(SerializableEstimatorMixin):
 
     def __init__(self, embedding_dim, n_iter, batch_size, l2, learning_rate,
                  optimizer_func, representation, sparse, random_state,
-                 mesh=None):
+                 mesh=None, exchange='psum'):
         self._embedding_dim = embedding_dim
         self._n_iter = n_iter
         self._batch_size = batch_size
@@ -41,6 +41,7 @@ class _FactorizationBase(SerializableEstimatorMixin):
         self._sparse = sparse
         self._random_state = random_state or np.random.RandomState()
         self._mesh = mesh
+        self._exchange = exchange
 
         self._num_users = None
         self._num_items = None
@@ -89,7 +90,8 @@ class _FactorizationBase(SerializableEstimatorMixin):
 
             if hasattr(self._net, 'sharded'):
                 self._net = self._net.sharded(
-                    'model', self._mesh.shape['model'])
+                    'model', self._mesh.shape['model'],
+                    exchange=self._exchange)
             self._param_specs = self._net.param_specs()
             self._params = psharding.shard_params(
                 self._net.init(self._next_key()), self._param_specs,

@@ -62,12 +62,13 @@ class ExplicitFactorizationModel(_FactorizationBase):
                  representation=None,
                  sparse=False,
                  random_state=None,
-                 mesh=None):
+                 mesh=None,
+                 exchange='psum'):
         assert loss in ('regression', 'poisson', 'logistic')
         del use_cuda  # accepted for API parity; devices come from jax
         super().__init__(embedding_dim, n_iter, batch_size, l2, learning_rate,
                          optimizer_func, representation, sparse, random_state,
-                         mesh=mesh)
+                         mesh=mesh, exchange=exchange)
         self._loss = loss
         self._epoch_fn_cache = {}
 
@@ -93,7 +94,7 @@ class ExplicitFactorizationModel(_FactorizationBase):
         epoch_fn = training.build_epoch_fn(
             elems_fn, optimizer, num_batches, batch_size,
             mesh=self._mesh, param_specs=self._param_specs,
-            opt_specs=self._opt_specs)
+            opt_specs=self._opt_specs, exchange=self._exchange)
         self._epoch_fn_cache[num_batches] = epoch_fn
         return epoch_fn
 

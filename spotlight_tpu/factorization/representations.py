@@ -64,7 +64,7 @@ class BilinearNet:
         item_biases = self.item_bias_layer or ZeroEmbedding(self.num_items, 1)
         return user_embeddings, item_embeddings, user_biases, item_biases
 
-    def sharded(self, axis='model', num_shards=1):
+    def sharded(self, axis='model', num_shards=1, exchange='psum'):
         """A variant of this representation with every dense embedding table
         row-sharded over the given mesh axis.
 
@@ -77,7 +77,8 @@ class BilinearNet:
             if layer is None or not isinstance(
                     layer, (ScaledEmbedding, ZeroEmbedding)):
                 return layer
-            return ShardedEmbedding(layer, axis=axis, num_shards=num_shards)
+            return ShardedEmbedding(layer, axis=axis, num_shards=num_shards,
+                                    exchange=exchange)
 
         user_emb, item_emb, user_bias, item_bias = self._layers()
         return dataclasses.replace(

@@ -54,11 +54,18 @@ class ShardedEmbedding:
         Mesh axis name over which rows are sharded.
     num_shards : int
         Size of that mesh axis (static, fixed at construction).
+    exchange : str, 'psum' (default) or 'alltoall'
+        Collective used by the local-view lookup: the vocab-parallel
+        partial-rows ``psum`` (vma-safe, used by the default training
+        engine) or the explicit three-phase all-to-all id exchange
+        (:func:`alltoall_lookup`; requires the vma-off engine variant —
+        see ``parallel.training``).
     """
 
     inner: object
     axis: str = 'model'
     num_shards: int = 1
+    exchange: str = 'psum'
 
     @property
     def num_embeddings(self):
@@ -100,6 +107,10 @@ class ShardedEmbedding:
                 'ShardedEmbedding saw table with {} rows; expected global '
                 '{} or per-shard {}'.format(
                     weight.shape[0], self.padded_rows, local_rows))
+
+        if self.exchange == 'alltoall':
+            vectors = alltoall_lookup(weight, ids, axis=self.axis)
+            return self._masked(vectors, ids)
 
         # Local view (inside shard_map): gather owned rows, psum partials.
         shard = jax.lax.axis_index(self.axis)

@@ -60,7 +60,7 @@ def opt_specs_like(opt_state, params, param_specs):
 
 def epoch_scan_distributed(params, opt_state, key, data, num_batches,
                            batch_size, elems_fn, optimizer, mesh,
-                           param_specs, opt_specs):
+                           param_specs, opt_specs, exchange='psum'):
     """Distributed analogue of :func:`spotlight_tpu.utils.training.epoch_scan`.
 
     Parameters
@@ -69,6 +69,20 @@ def epoch_scan_distributed(params, opt_state, key, data, num_batches,
         Both outputs have identical shape; the engine performs the global
         masked-mean reduction.
     param_specs, opt_specs : PartitionSpec trees for params / opt state.
+    exchange : 'psum' (default) or 'alltoall'
+        Must match the :class:`ShardedEmbedding` exchange mode.  The psum
+        mode runs under vma-aware shard_map (gradient reductions inserted
+        by the AD transpose).  The all-to-all mode cannot typecheck under
+        vma (its output is replicated in value but typed varying), so it
+        runs with ``check_vma=False`` and performs the gradient calculus
+        manually:
+
+        - the per-replica loss is divided by the model-axis size: every
+          model shard computes the identical loss, and each one's backward
+          sends cotangents through the reversed all-to-all to the owning
+          table shard, which therefore accumulates ``model_size`` copies;
+        - table gradients then need only the data-axis psum; replicated
+          (dense) gradients need the psum over both axes.
     """
     perm_key, negatives_key = jax.random.split(key)
     padded_length = num_batches * batch_size
@@ -81,12 +95,27 @@ def epoch_scan_distributed(params, opt_state, key, data, num_batches,
     batch_keys = jax.random.split(negatives_key, num_batches)
 
     batch_specs = {name: P('data') for name in data}
+    model_size = mesh.shape.get('model', 1)
+
+    def _psum_grads_by_spec(grads):
+        """Per-parameter gradient reduction for the all-to-all mode."""
+        def reduce_one(grad, spec):
+            sharded_over_model = any(
+                axis == 'model'
+                for axis in jax.tree_util.tree_leaves(tuple(spec)))
+            if sharded_over_model:
+                return jax.lax.psum(grad, 'data')
+            return jax.lax.psum(grad, ('data', 'model'))
+
+        return jax.tree_util.tree_map(
+            reduce_one, grads, param_specs,
+            is_leaf=lambda x: isinstance(x, P))
 
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(param_specs, opt_specs, batch_specs, P()),
         out_specs=(param_specs, opt_specs, P()),
-        check_vma=True)
+        check_vma=(exchange == 'psum'))
     def sharded_step(params, opt_state, batch, batch_key):
         # Distinct negative-sampling stream per data shard.
         shard_key = jax.random.fold_in(
@@ -96,14 +125,22 @@ def epoch_scan_distributed(params, opt_state, key, data, num_batches,
             elems, mask = elems_fn(params, batch, shard_key)
             mask = mask.astype(elems.dtype)
             global_count = jax.lax.psum(jnp.sum(mask), 'data')
-            return jnp.sum(elems * mask) / jnp.maximum(global_count, 1.0)
+            loss = jnp.sum(elems * mask) / jnp.maximum(global_count, 1.0)
+            if exchange == 'alltoall':
+                loss = loss / model_size
+            return loss
 
-        # With vma-aware shard_map (check_vma=True), params are marked
-        # invariant over 'data'; jax.grad's transpose then inserts the
-        # gradient psum over 'data' automatically — adding an explicit one
-        # would double-count.
         local, grads = jax.value_and_grad(local_loss)(params)
-        loss = jax.lax.psum(local, 'data')
+
+        if exchange == 'alltoall':
+            grads = _psum_grads_by_spec(grads)
+            loss = jax.lax.psum(local, 'data') * model_size
+        else:
+            # With vma-aware shard_map (check_vma=True), params are marked
+            # invariant over 'data'; jax.grad's transpose then inserts the
+            # gradient psum over 'data' automatically — adding an explicit
+            # one would double-count.
+            loss = jax.lax.psum(local, 'data')
 
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

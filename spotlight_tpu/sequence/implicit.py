@@ -76,7 +76,8 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
                  sparse=False,
                  random_state=None,
                  num_negative_samples=5,
-                 mesh=None):
+                 mesh=None,
+                 exchange='psum'):
         assert loss in ('pointwise', 'bpr', 'hinge', 'adaptive_hinge')
         if isinstance(representation, str):
             assert representation in ('pooling', 'cnn', 'lstm', 'mixture')
@@ -99,6 +100,7 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
         self._random_state = random_state or np.random.RandomState()
         self._num_negative_samples = num_negative_samples
         self._mesh = mesh
+        self._exchange = exchange
 
         self._num_items = None
         self._net = None
@@ -150,7 +152,8 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
 
             if hasattr(self._net, 'sharded'):
                 self._net = self._net.sharded(
-                    'model', self._mesh.shape['model'])
+                    'model', self._mesh.shape['model'],
+                    exchange=self._exchange)
             self._param_specs = self._net.param_specs()
             self._params = psharding.shard_params(
                 self._net.init(self._next_key()), self._param_specs,
@@ -215,7 +218,7 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
         epoch_fn = training.build_epoch_fn(
             elems_fn, optimizer, num_batches, batch_size,
             mesh=self._mesh, param_specs=self._param_specs,
-            opt_specs=self._opt_specs)
+            opt_specs=self._opt_specs, exchange=self._exchange)
         self._epoch_fn_cache[num_batches] = epoch_fn
         return epoch_fn
 

@@ -71,7 +71,7 @@ class _ItemRepresentationBase:
             self.num_items, 1, padding_idx=PADDING_IDX)
         return item_embeddings, item_biases
 
-    def sharded(self, axis='model', num_shards=1):
+    def sharded(self, axis='model', num_shards=1, exchange='psum'):
         """A variant with the item embedding/bias tables row-sharded over
         the given mesh axis; dense (LSTM/CNN/projection) parameters stay
         replicated.  Bloom-compressed layers stay replicated too."""
@@ -80,7 +80,8 @@ class _ItemRepresentationBase:
         def wrap(layer):
             if not isinstance(layer, (ScaledEmbedding, ZeroEmbedding)):
                 return layer
-            return ShardedEmbedding(layer, axis=axis, num_shards=num_shards)
+            return ShardedEmbedding(layer, axis=axis, num_shards=num_shards,
+                                    exchange=exchange)
 
         item_emb, item_bias = self._item_layers()
         return dataclasses.replace(

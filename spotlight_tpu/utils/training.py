@@ -143,7 +143,8 @@ def place_data(data, mesh):
 
 
 def build_epoch_fn(elems_fn, optimizer, num_batches, batch_size,
-                   mesh=None, param_specs=None, opt_specs=None):
+                   mesh=None, param_specs=None, opt_specs=None,
+                   exchange='psum'):
     """Compile an epoch function from an elementwise-loss builder.
 
     ``elems_fn(params, batch, key) -> (elementwise_loss, mask)``; the
@@ -172,7 +173,8 @@ def build_epoch_fn(elems_fn, optimizer, num_batches, batch_size,
     def epoch_fn(params, opt_state, key, data):
         return epoch_scan_distributed(
             params, opt_state, key, data, num_batches, batch_size,
-            elems_fn, optimizer, mesh, param_specs, opt_specs)
+            elems_fn, optimizer, mesh, param_specs, opt_specs,
+            exchange=exchange)
 
     return epoch_fn
 

@@ -216,3 +216,47 @@ def test_sequence_distributed_learns():
         mesh=make_mesh(data=2, model=4))
     model.fit(train)
     assert sequence_mrr_score(model, test).mean() > 0.35
+
+
+def test_alltoall_exchange_matches_single_device():
+    """The all-to-all id-exchange training mode reproduces the
+    single-device parameters exactly, like the psum mode (deterministic
+    explicit loss; manual gradient calculus under check_vma=False)."""
+    interactions = factorization_dataset(
+        num_users=150, num_items=120, num_interactions=6000, explicit=True)
+    train, test = random_train_test_split(
+        interactions, random_state=np.random.RandomState(0))
+
+    def fit(mesh, exchange='psum'):
+        model = ExplicitFactorizationModel(
+            loss='regression', embedding_dim=16, n_iter=3, batch_size=256,
+            learning_rate=1e-2, l2=1e-6,
+            random_state=np.random.RandomState(42), mesh=mesh,
+            exchange=exchange)
+        model.fit(train)
+        return model
+
+    single = fit(None)
+    a2a = fit(make_mesh(data=2, model=4), exchange='alltoall')
+
+    assert abs(rmse_score(single, test) - rmse_score(a2a, test)) < 1e-4
+    np.testing.assert_allclose(
+        np.asarray(single._params['item_embeddings']['weight']),
+        np.asarray(a2a._params['item_embeddings']['weight'])[:120],
+        rtol=1e-4, atol=1e-5)
+
+
+def test_alltoall_exchange_implicit_learns():
+    interactions = factorization_dataset(
+        num_users=600, num_items=400, num_interactions=30000,
+        rank=8, noise=0.15)
+    train, test = random_train_test_split(
+        interactions, random_state=np.random.RandomState(0))
+
+    model = ImplicitFactorizationModel(
+        loss='bpr', embedding_dim=32, n_iter=10, batch_size=1024,
+        learning_rate=1e-2, l2=1e-6,
+        random_state=np.random.RandomState(42),
+        mesh=make_mesh(data=2, model=4), exchange='alltoall')
+    model.fit(train)
+    assert mrr_score(model, test, train=train).mean() > 0.03
