@@ -48,6 +48,12 @@ class ImplicitFactorizationModel(_FactorizationBase):
     sparse : bool
         API parity no-op.
     random_state : np.random.RandomState, optional
+    mesh : jax.sharding.Mesh, optional
+        Train distributed: embedding tables row-shard over the mesh's
+        'model' axis, the batch shards over 'data'
+        (see :mod:`spotlight_tpu.parallel`).
+    exchange : str, 'psum' (default) or 'alltoall'
+        Collective used for sharded table lookups (docs/parallelism.md).
     num_negative_samples : int, optional
         Number of negatives per positive for ``adaptive_hinge``.
     """
