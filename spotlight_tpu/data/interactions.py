@@ -73,6 +73,13 @@ class Interactions:
         return len(self.user_ids)
 
     def _check(self):
+        # Index dtypes are pinned to int32 on device (SURVEY.md §4 notes the
+        # reference's int32/int64 Windows bug class); ids beyond int32 range
+        # would silently wrap, so reject them loudly here.
+        if (int(self.user_ids.max()) > 2 ** 31 - 1 or
+                int(self.item_ids.max()) > 2 ** 31 - 1):
+            raise ValueError('ids exceed int32 range; remap to a contiguous '
+                             'range first (see data.amazon for the pattern)')
         if self.user_ids.max() >= self.num_users:
             raise ValueError('Maximum user id greater '
                              'than declared number of users.')

@@ -64,6 +64,7 @@ def test_untrained_model_is_at_chance():
 @pytest.mark.parametrize('compression_ratio, expected_mrr', [
     (0.5, 0.012),
     (1.0, 0.018),
+    (1.5, 0.018),  # ratios > 1 expand the table (reference CI covers this)
 ])
 def test_bloom_embeddings(compression_ratio, expected_mrr):
     train, test = _data()

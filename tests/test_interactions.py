@@ -142,3 +142,11 @@ def test_to_sequence_min_length():
         max_sequence_length=20, min_sequence_length=min_sequence_length)
     assert not np.any(
         (sequences.sequences != 0).sum(axis=1) < min_sequence_length)
+
+
+def test_ids_beyond_int32_rejected():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match='int32 range'):
+        Interactions(np.array([2 ** 31 + 5], dtype=np.int64),
+                     np.array([1], dtype=np.int64))
