@@ -75,3 +75,30 @@ def test_unfitted_predict_raises_clearly():
     seq_model = ImplicitSequenceModel()
     with pytest.raises(RuntimeError, match='call fit'):
         seq_model.predict(np.array([1, 2, 3]))
+
+
+def test_predict_matches_manual_numpy_math(random_state):
+    """predict() equals the from-scratch numpy computation on raw params:
+    dot(user_vec, item_vec) + user_bias + item_bias."""
+    interactions = factorization_dataset(
+        num_users=80, num_items=60, num_interactions=2000)
+    model = ImplicitFactorizationModel(
+        n_iter=1, random_state=np.random.RandomState(3))
+    model.fit(interactions)
+
+    U = np.asarray(model._params['user_embeddings']['weight'])
+    I = np.asarray(model._params['item_embeddings']['weight'])
+    bu = np.asarray(model._params['user_biases']['weight'])[:, 0]
+    bi = np.asarray(model._params['item_biases']['weight'])[:, 0]
+
+    users = random_state.randint(0, 80, 32)
+    items = random_state.randint(0, 60, 32)
+    expected = (U[users] * I[items]).sum(1) + bu[users] + bi[items]
+    got = model.predict(users, items)
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+    # Catalog path for one user.
+    got_catalog = model.predict(int(users[0]))
+    expected_catalog = U[users[0]] @ I.T + bu[users[0]] + bi
+    np.testing.assert_allclose(got_catalog, expected_catalog,
+                               rtol=1e-5, atol=1e-5)
