@@ -199,3 +199,32 @@ def test_streaming_precision_recall_on_mesh_matches():
                                           streaming=True)
     np.testing.assert_allclose(p_str, p_std, rtol=1e-6)
     np.testing.assert_allclose(r_str, r_std, rtol=1e-6)
+
+
+def test_streaming_sequence_mrr_on_mesh_matches():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+
+    from spotlight_tpu.data import user_based_train_test_split
+    from spotlight_tpu.parallel import make_mesh
+
+    interactions = sequential_dataset(
+        num_users=40, num_items=50, num_interactions=2000,
+        concentration_parameter=0.01)
+    train, test = user_based_train_test_split(
+        interactions, random_state=np.random.RandomState(0))
+    train = train.to_sequence(max_sequence_length=8)
+    test = test.to_sequence(max_sequence_length=8)
+    model = ImplicitSequenceModel(
+        loss='bpr', representation='lstm', n_iter=2, batch_size=64,
+        mesh=make_mesh(data=2, model=4),
+        random_state=np.random.RandomState(42))
+    model.fit(train)
+
+    standard = sequence_mrr_score(model, test, streaming=False)
+    streamed = sequence_mrr_score(model, test, streaming=True)
+    # Rank jitter near ties from per-shard matmul accumulation order.
+    np.testing.assert_allclose(streamed, standard, rtol=0.05, atol=5e-3)
+    assert abs(streamed.mean() - standard.mean()) < 1e-3
