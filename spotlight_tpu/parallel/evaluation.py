@@ -111,13 +111,26 @@ def sharded_rank_counts(mesh, user_reprs, item_matrix, item_bias,
         global_col = (jnp.arange(scores.shape[1], dtype=jnp.int32)
                       + shard * local_rows)
 
-        not_self = global_col[None, None, :] != tids[:, :, None]
-        greater = jnp.sum(
-            not_self & (scores[:, None, :] > tscores[:, :, None]),
-            axis=2).astype(jnp.float32)
-        equal = jnp.sum(
-            not_self & (scores[:, None, :] == tscores[:, :, None]),
-            axis=2).astype(jnp.float32)
+        # Chunk the target axis: the (B, T, N_local) comparison broadcast
+        # would otherwise scale memory with the per-user target count.
+        chunk = 16
+        num_targets = tscores.shape[1]
+        greater_parts = []
+        equal_parts = []
+        for start in range(0, num_targets, chunk):
+            ts = jax.lax.slice_in_dim(tscores, start,
+                                      min(start + chunk, num_targets), 1)
+            ti = jax.lax.slice_in_dim(tids, start,
+                                      min(start + chunk, num_targets), 1)
+            not_self = global_col[None, None, :] != ti[:, :, None]
+            greater_parts.append(jnp.sum(
+                not_self & (scores[:, None, :] > ts[:, :, None]),
+                axis=2).astype(jnp.float32))
+            equal_parts.append(jnp.sum(
+                not_self & (scores[:, None, :] == ts[:, :, None]),
+                axis=2).astype(jnp.float32))
+        greater = jnp.concatenate(greater_parts, axis=1)
+        equal = jnp.concatenate(equal_parts, axis=1)
         return (jax.lax.psum(greater, axis),
                 jax.lax.psum(equal, axis))
 
