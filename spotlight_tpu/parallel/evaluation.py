@@ -118,10 +118,9 @@ def sharded_rank_counts(mesh, user_reprs, item_matrix, item_bias,
         greater_parts = []
         equal_parts = []
         for start in range(0, num_targets, chunk):
-            ts = jax.lax.slice_in_dim(tscores, start,
-                                      min(start + chunk, num_targets), 1)
-            ti = jax.lax.slice_in_dim(tids, start,
-                                      min(start + chunk, num_targets), 1)
+            stop = min(start + chunk, num_targets)
+            ts = jax.lax.slice_in_dim(tscores, start, stop, axis=1)
+            ti = jax.lax.slice_in_dim(tids, start, stop, axis=1)
             not_self = global_col[None, None, :] != ti[:, :, None]
             greater_parts.append(jnp.sum(
                 not_self & (scores[:, None, :] > ts[:, :, None]),
