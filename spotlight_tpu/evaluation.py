@@ -111,19 +111,31 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
             + item_bias[safe_train])                            # (B, Tr)
 
         # Comparisons of each target against the user's train items
-        # (excluding the target itself by id).
-        not_self = safe_train[:, None, :] != safe_targets[:, :, None]
-        countable = valid_train[:, None, :] & not_self          # (B, T, Tr)
-        tr_greater = jnp.sum(
-            countable & (train_scores[:, None, :] >
-                         target_scores[:, :, None]), axis=2)
-        tr_equal = jnp.sum(
-            countable & (train_scores[:, None, :] ==
-                         target_scores[:, :, None]), axis=2)
-
-        target_in_train = jnp.any(
-            valid_train[:, None, :] &
-            (safe_train[:, None, :] == safe_targets[:, :, None]), axis=2)
+        # (excluding the target itself by id), chunked over targets so the
+        # (B, T_chunk, Tr) broadcast stays bounded for heavy users.
+        chunk = 32
+        num_t = safe_targets.shape[1]
+        tr_greater_parts, tr_equal_parts, in_train_parts = [], [], []
+        for start in range(0, num_t, chunk):
+            stop = min(start + chunk, num_t)
+            tgt_ids = jax.lax.slice_in_dim(safe_targets, start, stop,
+                                           axis=1)
+            tgt_scores = jax.lax.slice_in_dim(target_scores, start, stop,
+                                              axis=1)
+            not_self = safe_train[:, None, :] != tgt_ids[:, :, None]
+            countable = valid_train[:, None, :] & not_self
+            tr_greater_parts.append(jnp.sum(
+                countable & (train_scores[:, None, :] >
+                             tgt_scores[:, :, None]), axis=2))
+            tr_equal_parts.append(jnp.sum(
+                countable & (train_scores[:, None, :] ==
+                             tgt_scores[:, :, None]), axis=2))
+            in_train_parts.append(jnp.any(
+                valid_train[:, None, :] &
+                (safe_train[:, None, :] == tgt_ids[:, :, None]), axis=2))
+        tr_greater = jnp.concatenate(tr_greater_parts, axis=1)
+        tr_equal = jnp.concatenate(tr_equal_parts, axis=1)
+        target_in_train = jnp.concatenate(in_train_parts, axis=1)
         train_count = valid_train.sum(axis=1, keepdims=True)    # (B, 1)
 
         unmasked_ranks = (greater - tr_greater +
