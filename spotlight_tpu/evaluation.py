@@ -60,6 +60,12 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
         return None
     reprs, item_matrix, item_bias = factors
 
+    # The rank kernel statically unrolls its per-target loop; extremely
+    # wide target matrices (users with hundreds of test items) would
+    # explode compile time.  Fall back to the materialize-sort path there.
+    if np.shape(targets)[1] > 128:
+        return None
+
     targets = jnp.asarray(targets, dtype=jnp.int32)
     safe_targets = jnp.clip(targets, 0, item_matrix.shape[0] - 1)
     target_scores = (
