@@ -416,7 +416,9 @@ def _streaming_topk_hits(model, kind, inputs, k_max, train_rows=None,
     fetch = k_max
     if train_rows is not None:
         fetch = k_max + train_rows.shape[1]
-    if fetch > item_matrix.shape[0]:
+    # The top-k kernel's selection loop is statically unrolled; very wide
+    # fetches (heavy-user train masks) would explode compile time.
+    if fetch > item_matrix.shape[0] or fetch > 128:
         return None
 
     mesh = getattr(model, '_mesh', None)
