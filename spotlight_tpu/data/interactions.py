@@ -51,6 +51,13 @@ class Interactions:
         user_ids = np.asarray(user_ids)
         item_ids = np.asarray(item_ids)
 
+        if len(user_ids) != len(item_ids):
+            raise ValueError('user_ids and item_ids must have equal length '
+                             '({} vs {})'.format(len(user_ids), len(item_ids)))
+        if len(user_ids) == 0 and (num_users is None or num_items is None):
+            raise ValueError('Cannot infer num_users/num_items from an empty '
+                             'dataset; pass both explicitly.')
+
         self.num_users = int(num_users or user_ids.max() + 1)
         self.num_items = int(num_items or item_ids.max() + 1)
 
@@ -73,6 +80,10 @@ class Interactions:
         return len(self.user_ids)
 
     def _check(self):
+        if len(self.user_ids) == 0:
+            # num_users/num_items were supplied explicitly (enforced in
+            # __init__); nothing else to validate for an empty dataset.
+            return
         # Index dtypes are pinned to int32 on device (SURVEY.md §4 notes the
         # reference's int32/int64 Windows bug class); ids beyond int32 range
         # would silently wrap, so reject them loudly here.
@@ -223,6 +234,9 @@ class SequenceInteractions:
         self.max_sequence_length = self.sequences.shape[1]
 
         if num_items is None:
+            if self.sequences.size == 0:
+                raise ValueError('Cannot infer num_items from empty '
+                                 'sequences; pass num_items explicitly.')
             self.num_items = int(self.sequences.max() + 1)
         else:
             self.num_items = num_items

@@ -36,85 +36,37 @@ def _streaming_default():
     return jax.default_backend() not in ('cpu',)
 
 
-def _streaming_ranks(model, kind, inputs, targets, target_mask,
-                     train_rows=None, interpret=False):
-    """Fused-kernel MRR path: score factors once, stream the catalog.
+@functools.partial(jax.jit, static_argnames=('interpret',))
+def _streaming_ranks_device(reprs, item_matrix, item_bias, targets,
+                            target_mask, train_rows, interpret=False):
+    """Whole per-batch streaming-rank computation as ONE compiled program.
 
-    ``kind`` is 'users' (factorization; inputs = user id batch) or
-    'sequences' (inputs = prefix batch).  Returns per-row mean reciprocal
-    ranks, or None when the model cannot expose dot-product factors.
-
-    Train-item masking is applied as a closed-form correction: the reference
-    sets masked scores to -FLOAT_MAX (`evaluation.py:50`), so a masked item
-    contributes to no target's counts — subtract its comparisons; a target
-    that is itself masked ranks behind every unmasked item with the masked
-    set tied: ``rank = (N - |M|) + (|M| + 1) / 2``.
+    (Running these steps as eager ops costs hundreds of separate dispatches
+    per batch — measured ~100x slower through the dev-tunnel's remote
+    compile/dispatch path than a single jitted executable.)
     """
-    from spotlight_tpu.ops.kernels.ranking import (rank_counts)
+    from spotlight_tpu.ops.kernels.ranking import (matched_target_scores,
+                                                   rank_counts)
 
-    factors_fn = getattr(model, '_rank_factors_' + kind, None)
-    if factors_fn is None:
-        return None
-    factors = factors_fn(inputs)
-    if factors is None:
-        return None
-    reprs, item_matrix, item_bias = factors
+    num_items = item_matrix.shape[0]
+    targets = targets.astype(jnp.int32)
+    safe_targets = jnp.clip(targets, 0, num_items - 1)
+    # MXU-matmul arithmetic, bit-matching the kernel's tile scores (an
+    # einsum lowers to a VPU reduction at small T whose 1-ulp differences
+    # flip == comparisons on exact ties; see ranking.matched_target_scores).
+    target_scores = matched_target_scores(reprs, item_matrix, item_bias,
+                                          safe_targets)
 
-    # The rank kernel statically unrolls its per-target loop; extremely
-    # wide target matrices (users with hundreds of test items) would
-    # explode compile time.  Fall back to the materialize-sort path there.
-    if np.shape(targets)[1] > 128:
-        return None
-
-    targets = jnp.asarray(targets, dtype=jnp.int32)
-    safe_targets = jnp.clip(targets, 0, item_matrix.shape[0] - 1)
-    target_scores = (
-        jnp.einsum('bd,btd->bt', reprs, item_matrix[safe_targets],
-                   preferred_element_type=jnp.float32)
-        + item_bias[safe_targets])
-
-    num_items = item_matrix.shape[0]  # before any shard padding
-
-    mesh = getattr(model, '_mesh', None)
-    if mesh is not None and mesh.shape.get('model', 1) > 1:
-        # Mesh-sharded tables: count per shard against resident rows and
-        # psum (parallel/evaluation.py) instead of gathering the table
-        # into one Pallas invocation.
-        from spotlight_tpu.parallel.evaluation import sharded_rank_counts
-
-        shards = mesh.shape['model']
-        pad = -item_matrix.shape[0] % shards
-        if pad:
-            # Pad to a shard multiple with rows that can never outrank a
-            # real item (zero vectors, -FLOAT_MAX bias).
-            item_matrix = jnp.concatenate(
-                [item_matrix,
-                 jnp.zeros((pad, item_matrix.shape[1]),
-                           item_matrix.dtype)])
-            item_bias = jnp.concatenate(
-                [item_bias, jnp.full((pad,), -FLOAT_MAX,
-                                     item_bias.dtype)])
-        greater, equal = sharded_rank_counts(
-            mesh, reprs, item_matrix, item_bias, target_scores,
-            safe_targets)
-    else:
-        try:
-            greater, equal = rank_counts(reprs, item_matrix, item_bias,
-                                         target_scores, safe_targets,
-                                         interpret=interpret)
-        except Exception:
-            # Mosaic compile failures on unusual shapes fall back to the
-            # materialize-sort path rather than breaking evaluation.
-            return None
+    greater, equal = rank_counts(reprs, item_matrix, item_bias,
+                                 target_scores, safe_targets,
+                                 interpret=interpret)
 
     if train_rows is not None:
-        train_rows = jnp.asarray(train_rows, dtype=jnp.int32)  # (B, Tr)
+        train_rows = train_rows.astype(jnp.int32)               # (B, Tr)
         valid_train = train_rows >= 0
         safe_train = jnp.clip(train_rows, 0, num_items - 1)
-        train_scores = (
-            jnp.einsum('bd,btd->bt', reprs, item_matrix[safe_train],
-                       preferred_element_type=jnp.float32)
-            + item_bias[safe_train])                            # (B, Tr)
+        train_scores = matched_target_scores(
+            reprs, item_matrix, item_bias, safe_train)          # (B, Tr)
 
         # Comparisons of each target against the user's train items
         # (excluding the target itself by id), chunked over targets so the
@@ -152,24 +104,147 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
     else:
         ranks = greater + equal * 0.5 + 1.0
 
-    target_mask = jnp.asarray(target_mask)
+    rr = jnp.where(target_mask, 1.0 / ranks, 0.0)
+    denom = jnp.maximum(target_mask.sum(axis=1), 1)
+    return rr.sum(axis=1) / denom
+
+
+def _streaming_ranks(model, kind, inputs, targets, target_mask,
+                     train_rows=None, interpret=False):
+    """Fused-kernel MRR path: score factors once, stream the catalog.
+
+    ``kind`` is 'users' (factorization; inputs = user id batch) or
+    'sequences' (inputs = prefix batch).  Returns per-row mean reciprocal
+    ranks, or None when the model cannot expose dot-product factors.
+
+    Train-item masking is applied as a closed-form correction: the reference
+    sets masked scores to -FLOAT_MAX (`evaluation.py:50`), so a masked item
+    contributes to no target's counts — subtract its comparisons; a target
+    that is itself masked ranks behind every unmasked item with the masked
+    set tied: ``rank = (N - |M|) + (|M| + 1) / 2``.
+    """
+    factors_fn = getattr(model, '_rank_factors_' + kind, None)
+    if factors_fn is None:
+        return None
+    factors = factors_fn(inputs)
+    if factors is None:
+        return None
+    reprs, item_matrix, item_bias = factors
+
+    mesh = getattr(model, '_mesh', None)
+    if mesh is not None and mesh.shape.get('model', 1) > 1:
+        return _streaming_ranks_sharded(
+            mesh, reprs, item_matrix, item_bias,
+            jnp.asarray(targets, dtype=jnp.int32),
+            jnp.asarray(target_mask), train_rows)
+
+    try:
+        rr = _streaming_ranks_device(
+            reprs, item_matrix, item_bias,
+            jnp.asarray(targets, dtype=jnp.int32),
+            jnp.asarray(target_mask),
+            (jnp.asarray(train_rows, dtype=jnp.int32)
+             if train_rows is not None else None),
+            interpret=interpret)
+    except Exception:
+        # Mosaic compile failures on unusual shapes fall back to the
+        # materialize-sort path rather than breaking evaluation.
+        return None
+    return np.asarray(rr)
+
+
+def _streaming_ranks_sharded(mesh, reprs, item_matrix, item_bias, targets,
+                             target_mask, train_rows):
+    """Mesh-sharded tables: count per shard against resident rows and psum
+    (parallel/evaluation.py) instead of a single-device Pallas launch."""
+    from spotlight_tpu.ops.kernels.ranking import matched_target_scores
+    from spotlight_tpu.parallel.evaluation import sharded_rank_counts
+
+    num_items = item_matrix.shape[0]
+    safe_targets = jnp.clip(targets, 0, num_items - 1)
+    target_scores = matched_target_scores(reprs, item_matrix, item_bias,
+                                          safe_targets)
+
+    shards = mesh.shape['model']
+    pad = -num_items % shards
+    if pad:
+        # Pad to a shard multiple with rows that can never outrank a
+        # real item (zero vectors, -FLOAT_MAX bias).
+        item_matrix = jnp.concatenate(
+            [item_matrix,
+             jnp.zeros((pad, item_matrix.shape[1]), item_matrix.dtype)])
+        item_bias = jnp.concatenate(
+            [item_bias, jnp.full((pad,), -FLOAT_MAX, item_bias.dtype)])
+    greater, equal = sharded_rank_counts(
+        mesh, reprs, item_matrix, item_bias, target_scores, safe_targets)
+
+    if train_rows is not None:
+        train_rows = jnp.asarray(train_rows, dtype=jnp.int32)
+        valid_train = train_rows >= 0
+        safe_train = jnp.clip(train_rows, 0, num_items - 1)
+        train_scores = matched_target_scores(
+            reprs, item_matrix[:num_items], item_bias[:num_items],
+            safe_train)
+        chunk = 32
+        num_t = safe_targets.shape[1]
+        tr_greater_parts, tr_equal_parts, in_train_parts = [], [], []
+        for start in range(0, num_t, chunk):
+            stop = min(start + chunk, num_t)
+            tgt_ids = jax.lax.slice_in_dim(safe_targets, start, stop,
+                                           axis=1)
+            tgt_scores = jax.lax.slice_in_dim(target_scores, start, stop,
+                                              axis=1)
+            not_self = safe_train[:, None, :] != tgt_ids[:, :, None]
+            countable = valid_train[:, None, :] & not_self
+            tr_greater_parts.append(jnp.sum(
+                countable & (train_scores[:, None, :] >
+                             tgt_scores[:, :, None]), axis=2))
+            tr_equal_parts.append(jnp.sum(
+                countable & (train_scores[:, None, :] ==
+                             tgt_scores[:, :, None]), axis=2))
+            in_train_parts.append(jnp.any(
+                valid_train[:, None, :] &
+                (safe_train[:, None, :] == tgt_ids[:, :, None]), axis=2))
+        tr_greater = jnp.concatenate(tr_greater_parts, axis=1)
+        tr_equal = jnp.concatenate(tr_equal_parts, axis=1)
+        target_in_train = jnp.concatenate(in_train_parts, axis=1)
+        train_count = valid_train.sum(axis=1, keepdims=True)
+
+        unmasked_ranks = (greater - tr_greater +
+                          (equal - tr_equal) * 0.5 + 1.0)
+        masked_ranks = ((num_items - train_count) +
+                        (train_count + 1.0) * 0.5)
+        ranks = jnp.where(target_in_train, masked_ranks, unmasked_ranks)
+    else:
+        ranks = greater + equal * 0.5 + 1.0
+
     rr = jnp.where(target_mask, 1.0 / ranks, 0.0)
     denom = jnp.maximum(target_mask.sum(axis=1), 1)
     return np.asarray(rr.sum(axis=1) / denom)
 
 
 def _padded_rows(csr_matrix, users, pad_value=-1):
-    """Extract each user's column indices into a dense padded matrix."""
-    rows = [csr_matrix.indices[csr_matrix.indptr[u]:csr_matrix.indptr[u + 1]]
-            for u in users]
-    width = max((len(r) for r in rows), default=1)
-    width = max(width, 1)
-    out = np.full((len(users), width), pad_value, dtype=np.int64)
-    for i, r in enumerate(rows):
-        out[i, :len(r)] = r
-    return out
+    """Extract each user's column indices into a dense padded matrix.
+
+    Vectorized CSR slicing (no per-user host loop): row ``i`` column ``j``
+    reads ``indices[indptr[users[i]] + j]`` when ``j`` is within the user's
+    nnz count, else ``pad_value``.
+    """
+    users = np.asarray(users)
+    indptr = csr_matrix.indptr
+    starts = indptr[users]
+    counts = indptr[users + 1] - starts
+    width = max(int(counts.max()) if len(counts) else 0, 1)
+    if csr_matrix.nnz == 0:
+        return np.full((len(users), width), pad_value, dtype=np.int64)
+    cols = np.arange(width)[None, :]
+    valid = cols < counts[:, None]
+    src = np.where(valid, starts[:, None] + cols, 0)
+    return np.where(valid, csr_matrix.indices[src],
+                    pad_value).astype(np.int64)
 
 
+@jax.jit
 def _mask_scores(scores, mask_indices):
     """Set ``scores[i, mask_indices[i, :]]`` to -FLOAT_MAX; index -1 pads."""
     num_items = scores.shape[1]
@@ -306,14 +381,28 @@ def _sequence_final_scores(model, prefixes, exclude_preceding):
 
 
 def _dedup_rows(matrix, pad_value=-1):
-    """Per-row unique values, padded with ``pad_value`` on the right."""
-    out = np.full_like(matrix, pad_value)
-    width = 0
-    for i, row in enumerate(matrix):
-        unique = np.unique(row)
-        out[i, :len(unique)] = unique
-        width = max(width, len(unique))
-    return out[:, :max(width, 1)]
+    """Per-row unique (sorted-ascending) values, right-padded.
+
+    Vectorized: sort each row, keep first occurrences, scatter them to
+    their per-row compacted positions.  The output width is bucketed up to
+    the next power of two (min 8) so downstream jitted shapes stay within a
+    bounded set of compile variants as per-batch dedup widths vary.
+    """
+    if matrix.shape[0] == 0:
+        return np.full((0, 1), pad_value, dtype=matrix.dtype)
+    sorted_m = np.sort(matrix, axis=1)
+    first = np.ones_like(sorted_m, dtype=bool)
+    first[:, 1:] = sorted_m[:, 1:] != sorted_m[:, :-1]
+    counts = first.sum(axis=1)
+    width = max(int(counts.max()), 1)
+    width = min(1 << max(width - 1, 7).bit_length(), matrix.shape[1])
+    out = np.full((matrix.shape[0], width), pad_value, dtype=matrix.dtype)
+    dest = np.cumsum(first, axis=1) - 1
+    row_idx = np.broadcast_to(
+        np.arange(matrix.shape[0])[:, None], matrix.shape)
+    keep = first & (dest < width)
+    out[row_idx[keep], dest[keep]] = sorted_m[keep]
+    return out
 
 
 def sequence_mrr_score(model, test, exclude_preceding=False, batch_size=256,
@@ -392,6 +481,28 @@ def _precision_recall_from_scores(scores, targets, target_mask, k_values):
     return precision, recall
 
 
+@functools.partial(jax.jit,
+                   static_argnames=('k_max', 'fetch', 'interpret'))
+def _streaming_topk_device(reprs, item_matrix, item_bias, train_rows,
+                           k_max, fetch, interpret=False):
+    """Whole per-batch streaming top-k (+ train-mask compaction) as ONE
+    compiled program (see _streaming_ranks_device for why)."""
+    from spotlight_tpu.ops.kernels.topk import streaming_topk
+
+    _, top_ids = streaming_topk(reprs, item_matrix, item_bias, fetch,
+                                interpret=interpret)
+    if train_rows is None:
+        return top_ids
+
+    train = train_rows.astype(jnp.int32)                   # (B, Tr)
+    masked = jnp.any(top_ids[:, :, None] == train[:, None, :], axis=2)
+    # Stable compaction: masked entries sort after unmasked ones while
+    # unmasked entries keep their rank order.
+    order = jnp.argsort(masked.astype(jnp.int32), axis=1, stable=True)
+    compacted = jnp.take_along_axis(top_ids, order, axis=1)
+    return compacted[:, :k_max]
+
+
 def _streaming_topk_hits(model, kind, inputs, k_max, train_rows=None,
                          interpret=False):
     """(B, k_max) top *unmasked* item ids via the streaming top-k kernel,
@@ -403,8 +514,6 @@ def _streaming_topk_hits(model, kind, inputs, k_max, train_rows=None,
     masked ids are compacted out and the first ``k_max`` survivors kept —
     matching the reference's FLOAT_MAX demotion semantics.
     """
-    from spotlight_tpu.ops.kernels.topk import streaming_topk
-
     factors_fn = getattr(model, '_rank_factors_' + kind, None)
     if factors_fn is None:
         return None
@@ -413,13 +522,17 @@ def _streaming_topk_hits(model, kind, inputs, k_max, train_rows=None,
         return None
     reprs, item_matrix, item_bias = factors
 
+    num_items = item_matrix.shape[0]
+    if k_max > num_items:
+        # Not enough catalog items to fill the requested top-k at all.
+        return None
     fetch = k_max
     if train_rows is not None:
         fetch = k_max + train_rows.shape[1]
-    # The top-k kernel's selection loop is statically unrolled; very wide
-    # fetches (heavy-user train masks) would explode compile time.
-    if fetch > item_matrix.shape[0] or fetch > 128:
-        return None
+    # A fetch of the whole catalog trivially contains every unmasked item,
+    # so wider over-fetches are never needed (the kernel runs wide fetches
+    # in resume-key rounds of 128; see ops/kernels/topk.py).
+    fetch = min(fetch, num_items)
 
     mesh = getattr(model, '_mesh', None)
     if mesh is not None and mesh.shape.get('model', 1) > 1:
@@ -439,23 +552,21 @@ def _streaming_topk_hits(model, kind, inputs, k_max, train_rows=None,
                                      item_bias.dtype)])
         _, top_ids = sharded_topk(mesh, reprs, item_matrix, item_bias,
                                   fetch)
-    else:
-        try:
-            _, top_ids = streaming_topk(reprs, item_matrix, item_bias,
-                                        fetch, interpret=interpret)
-        except Exception:
-            return None
+        if train_rows is None:
+            return top_ids
+        train = jnp.asarray(train_rows, dtype=jnp.int32)
+        masked = jnp.any(top_ids[:, :, None] == train[:, None, :], axis=2)
+        order = jnp.argsort(masked.astype(jnp.int32), axis=1, stable=True)
+        return jnp.take_along_axis(top_ids, order, axis=1)[:, :k_max]
 
-    if train_rows is None:
-        return top_ids
-
-    train = jnp.asarray(train_rows, dtype=jnp.int32)       # (B, Tr)
-    masked = jnp.any(top_ids[:, :, None] == train[:, None, :], axis=2)
-    # Stable compaction: masked entries sort after unmasked ones while
-    # unmasked entries keep their rank order.
-    order = jnp.argsort(masked.astype(jnp.int32), axis=1, stable=True)
-    compacted = jnp.take_along_axis(top_ids, order, axis=1)
-    return compacted[:, :k_max]
+    try:
+        return _streaming_topk_device(
+            reprs, item_matrix, item_bias,
+            (jnp.asarray(train_rows, dtype=jnp.int32)
+             if train_rows is not None else None),
+            k_max, fetch, interpret=interpret)
+    except Exception:
+        return None
 
 
 def _precision_recall_from_topk(top_ids, targets, target_mask, k_values):

@@ -63,7 +63,9 @@ def markov_walk(cumulative, rvs, state, out=None):
     cumulative : (num_states, num_states) float64, C-contiguous
         Per-state cumulative transition probabilities.
     rvs : (num_steps,) float64 uniform draws
-    state : (order,) int64 initial window — modified in place
+    state : (order,) int64 initial window — read only (``ascontiguousarray``
+        may copy, so the caller's array is never reliably advanced; callers
+        needing the final window should derive it from the returned states)
     out : optional (num_steps,) int32 output buffer
 
     Returns

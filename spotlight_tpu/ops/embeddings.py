@@ -186,6 +186,16 @@ class BloomEmbedding:
         if self.num_hash_functions > len(SEEDS):
             raise ValueError('Can use at most {} hash functions ({} requested)'
                              .format(len(SEEDS), self.num_hash_functions))
+        if self.num_hash_functions < 1:
+            raise ValueError('num_hash_functions must be >= 1 (got {})'
+                             .format(self.num_hash_functions))
+        if self.compressed_num_embeddings < 1:
+            raise ValueError(
+                'compression_ratio {} of {} embeddings gives a compressed '
+                'table of {} rows; need at least 1 (raise the ratio or the '
+                'table size).'.format(
+                    self.compression_ratio, self.num_embeddings,
+                    self.compressed_num_embeddings))
 
     @property
     def compressed_num_embeddings(self):

@@ -101,7 +101,11 @@ def bloom_hash_jnp(ids, num_hashes, compressed_size, padding_idx=0):
     Matches the reference's precomputed hash table semantics
     (`/root/reference/spotlight/layers.py:178-198`): id ``padding_idx`` maps
     to row 0 under every hash function; all other ids map to
-    ``murmurhash3_32(id, SEEDS[j]) % compressed_size``.
+    ``murmurhash3_32(id, SEEDS[j]) % compressed_size`` where the hash is the
+    *signed* int32 value and ``%`` follows numpy's sign-of-divisor semantics
+    (the reference feeds sklearn's signed hash through numpy ``%``), so a
+    bloom model trained here maps ids to the same compressed rows as one
+    trained with the reference.
 
     Parameters
     ----------
@@ -118,7 +122,10 @@ def bloom_hash_jnp(ids, num_hashes, compressed_size, padding_idx=0):
     hashes = jnp.stack(
         [murmurhash3_32_jnp(ids, seed) for seed in SEEDS[:num_hashes]],
         axis=-1)
-    rows = (hashes % jnp.uint32(compressed_size)).astype(jnp.int32)
+    # Reinterpret as signed int32 and use Python/numpy modulo (result takes
+    # the divisor's sign, i.e. non-negative here) — bit-identical to the
+    # reference's `signed_hash % compressed_num_embeddings`.
+    rows = jnp.mod(hashes.astype(jnp.int32), jnp.int32(compressed_size))
     if padding_idx is not None:
         rows = jnp.where((ids == padding_idx)[..., None], 0, rows)
     return rows

@@ -12,12 +12,21 @@ and ``count(score == target_score)`` accumulators.  HBM traffic drops from
 ``3 * B * N * 4`` bytes to ``N * D * 4`` (the item table read once), and the
 score matrix never exists.
 
+Layout: everything runs *item-major* — scores are computed as
+``(tile_items, batch)`` and targets/counters live as ``(T, batch)`` — so the
+per-target loop indexes the **sublane** axis, which Mosaic supports at
+runtime offsets.  (The lane axis only supports static indexing; an earlier
+statically-unrolled variant held one ``(batch, tile)`` temporary live per
+target and overflowed the 16 MB VMEM scope beyond ~64 targets.)  A
+``fori_loop`` over targets keeps VMEM usage constant in T and compile time
+flat.
+
 The counts reproduce ``scipy.stats.rankdata`` average-rank semantics:
 ``rank = greater + (equal + 1) / 2`` (see
 `/root/reference/spotlight/evaluation.py:52`).
 
 Replaces the per-user Python loop + full materialization for MRR-style
-metrics; top-k metrics keep the XLA path.
+metrics; top-k metrics use the streaming top-k kernel (ops/kernels/topk.py).
 """
 
 from __future__ import annotations
@@ -30,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _rank_count_kernel(users_ref, tscore_ref, tid_ref, items_ref, bias_ref,
+def _rank_count_kernel(users_t_ref, tscore_ref, tid_ref, items_ref, bias_ref,
                        greater_ref, equal_ref, *, valid_items, tile_items):
     """One grid step: score a tile of items against all users, accumulate
     per-target comparison counts.
@@ -39,15 +48,14 @@ def _rank_count_kernel(users_ref, tscore_ref, tid_ref, items_ref, bias_ref,
     equality), making the rank robust to 1-ulp differences between the
     separately-computed target score and the tile matmul's value.
 
-    Refs:
-        users_ref   : (B, D)      VMEM, resident across steps
-        tscore_ref  : (B, T)      VMEM, target scores
-        tid_ref     : (B, T)      VMEM, target item ids (int32)
+    Refs (item-major layout):
+        users_t_ref : (D, B)      VMEM, resident across steps
+        tscore_ref  : (T, B)      VMEM, target scores
+        tid_ref     : (T, B)      VMEM, target item ids (int32)
         items_ref   : (TILE, D)   VMEM, this step's item tile
-        bias_ref    : (1, TILE)   VMEM (2-D: 1-D operands can hit
-                                  XLA/Mosaic layout tiling mismatches)
-        greater_ref : (B, T)      VMEM accumulator (same block every step)
-        equal_ref   : (B, T)      VMEM accumulator
+        bias_ref    : (TILE, 1)   VMEM
+        greater_ref : (T, B)      VMEM accumulator (same block every step)
+        equal_ref   : (T, B)      VMEM accumulator
     """
     step = pl.program_id(0)
 
@@ -56,43 +64,44 @@ def _rank_count_kernel(users_ref, tscore_ref, tid_ref, items_ref, bias_ref,
         greater_ref[:] = jnp.zeros_like(greater_ref)
         equal_ref[:] = jnp.zeros_like(equal_ref)
 
-    # (B, TILE) scores on the MXU.
-    scores = jnp.dot(users_ref[:], items_ref[:].T,
+    # (TILE, B) scores on the MXU.
+    scores = jnp.dot(items_ref[:], users_t_ref[:],
                      preferred_element_type=jnp.float32)
-    scores = scores + bias_ref[:]  # (1, TILE) broadcasts over batch
+    scores = scores + bias_ref[:]  # (TILE, 1) broadcasts over users
 
-    # Mask out-of-range rows of the (padded) final tile.
+    # Global item id of each score row; rows past the catalog end (padding
+    # of the final tile) never count.
     base = step * tile_items
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    global_col = base + col
-    in_range = global_col < valid_items
+    row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+    global_row = base + row
+    in_range = global_row < valid_items
 
-    tscores = tscore_ref[:]                        # (B, T)
-    tids = tid_ref[:]                              # (B, T)
-    num_targets = tscores.shape[1]
-    batch = tscores.shape[0]
+    num_targets = tscore_ref.shape[0]
 
-    # Static unroll over targets: Mosaic cannot index the lane dimension at
-    # a runtime offset, but static width-1 slices lower fine.  T is a trace
-    # constant (the padded per-batch target width).
-    greater_cols = []
-    equal_cols = []
-    for t in range(num_targets):
-        ts = jax.lax.slice(tscores, (0, t), (batch, t + 1))    # (B, 1)
-        tid = jax.lax.slice(tids, (0, t), (batch, t + 1))      # (B, 1)
-        countable = in_range & (global_col != tid)
-        greater_cols.append(jnp.sum(
+    def counts_at(t):
+        ts = tscore_ref[pl.ds(t, 1), :]              # (1, B)
+        tid = tid_ref[pl.ds(t, 1), :]                # (1, B)
+        countable = in_range & (global_row != tid)
+        greater = jnp.sum(
             jnp.where(countable & (scores > ts), 1.0, 0.0),
-            axis=1, keepdims=True))
-        equal_cols.append(jnp.sum(
+            axis=0, keepdims=True)
+        equal = jnp.sum(
             jnp.where(countable & (scores == ts), 1.0, 0.0),
-            axis=1, keepdims=True))
+            axis=0, keepdims=True)
+        return greater, equal
 
-    greater_ref[:] += jnp.concatenate(greater_cols, axis=1)
-    equal_ref[:] += jnp.concatenate(equal_cols, axis=1)
+    def body(t, _):
+        greater, equal = counts_at(t)
+        greater_ref[pl.ds(t, 1), :] += greater
+        equal_ref[pl.ds(t, 1), :] += equal
+        return 0
+
+    # A fori_loop (not a static unroll) even for tiny T: unrolled bodies
+    # were measured ~10x slower here (Mosaic scheduled their static-offset
+    # accumulator writes poorly), and the loop keeps VMEM flat in T.
+    jax.lax.fori_loop(0, num_targets, body, 0)
 
 
-@functools.partial(jax.jit, static_argnames=('tile_items', 'interpret'))
 def rank_counts(user_reprs, item_matrix, item_bias, target_scores,
                 target_ids, tile_items=512, interpret=False):
     """Streaming comparison counts of target scores against the catalog.
@@ -114,7 +123,34 @@ def rank_counts(user_reprs, item_matrix, item_bias, target_scores,
     (greater, equal) : (B, T) float32 counts over the catalog *excluding the
         target itself*; the average-tie rank is
         ``greater + equal / 2 + 1``.
+
+    Any target width is supported: the kernel loops over targets with a
+    ``fori_loop`` on the sublane axis, so VMEM usage and compile time do not
+    grow with T (the catalog is still read exactly once).
     """
+    # Pad the target axis to the 8-sublane minimum *outside* the jitted
+    # call: narrower blocks force degenerate layouts, and folding the pad
+    # into the compiled program measured ~10x slower through the dev
+    # tunnel than sharing the padded-width executable.
+    orig_targets = target_scores.shape[1]
+    pad_t = -orig_targets % 8
+    if pad_t:
+        target_scores = jnp.concatenate(
+            [target_scores,
+             jnp.repeat(target_scores[:, :1], pad_t, axis=1)], axis=1)
+        target_ids = jnp.concatenate(
+            [jnp.asarray(target_ids),
+             jnp.repeat(jnp.asarray(target_ids)[:, :1], pad_t, axis=1)],
+            axis=1)
+    greater, equal = _rank_counts_call(
+        user_reprs, item_matrix, item_bias, target_scores, target_ids,
+        tile_items=tile_items, interpret=interpret)
+    return greater[:, :orig_targets], equal[:, :orig_targets]
+
+
+@functools.partial(jax.jit, static_argnames=('tile_items', 'interpret'))
+def _rank_counts_call(user_reprs, item_matrix, item_bias, target_scores,
+                      target_ids, tile_items=512, interpret=False):
     batch, dim = user_reprs.shape
     num_items = item_matrix.shape[0]
     num_targets = target_scores.shape[1]
@@ -132,30 +168,30 @@ def rank_counts(user_reprs, item_matrix, item_bias, target_scores,
                                valid_items=num_items,
                                tile_items=tile_items)
 
-    greater, equal = pl.pallas_call(
+    greater_t, equal_t = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((batch, dim), lambda i: (0, 0),
+            pl.BlockSpec((dim, batch), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch, num_targets), lambda i: (0, 0),
+            pl.BlockSpec((num_targets, batch), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch, num_targets), lambda i: (0, 0),
+            pl.BlockSpec((num_targets, batch), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_items, dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_items), lambda i: (0, i),
+            pl.BlockSpec((tile_items, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((batch, num_targets), lambda i: (0, 0),
+            pl.BlockSpec((num_targets, batch), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch, num_targets), lambda i: (0, 0),
+            pl.BlockSpec((num_targets, batch), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((batch, num_targets), jnp.float32),
-            jax.ShapeDtypeStruct((batch, num_targets), jnp.float32),
+            jax.ShapeDtypeStruct((num_targets, batch), jnp.float32),
+            jax.ShapeDtypeStruct((num_targets, batch), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * batch * dim * padded_items +
@@ -164,10 +200,43 @@ def rank_counts(user_reprs, item_matrix, item_bias, target_scores,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(user_reprs, target_scores, target_ids.astype(jnp.int32),
-      item_matrix, item_bias[None, :])
+    )(user_reprs.T, target_scores.T, target_ids.astype(jnp.int32).T,
+      item_matrix, item_bias[:, None])
 
-    return greater, equal
+    return greater_t.T, equal_t.T
+
+
+def matched_target_scores(user_reprs, item_matrix, item_bias, safe_targets,
+                          chunk=64):
+    """Target scores computed with MXU-matmul arithmetic.
+
+    The obvious ``einsum('bd,btd->bt')`` is lowered by XLA as a fused
+    VPU reduction for small T, whose accumulation order differs from the
+    MXU matmul the rank kernel uses by ~1 ulp — enough to flip an ``==``
+    comparison into ``>`` on exact ties (measured: counts diverged at
+    T<=16, matched at T=512 where the einsum lowers to a real matmul).
+    Computing the target scores through an actual matmul keeps every score
+    in the comparison bit-identical to the kernel's tile scores.
+
+    Cost: B x T x B x D flops in T-chunks — ~0.1 ms at B=256, T=512, D=64,
+    negligible next to the catalog stream.
+    """
+    batch, dim = user_reprs.shape
+    num_targets = safe_targets.shape[1]
+    users_t = user_reprs.T                                  # (D, B)
+    lane = jnp.arange(batch)
+    parts = []
+    for start in range(0, num_targets, chunk):
+        stop = min(start + chunk, num_targets)
+        tgt = jax.lax.slice_in_dim(safe_targets, start, stop, axis=1)
+        rows = item_matrix[tgt.reshape(-1)]                 # (B*C, D)
+        prod = jnp.dot(rows, users_t,
+                       preferred_element_type=jnp.float32)  # (B*C, B)
+        prod = prod.reshape(batch, stop - start, batch)
+        diag = jnp.take_along_axis(
+            prod, lane[:, None, None], axis=2)[..., 0]      # (B, C)
+        parts.append(diag + item_bias[tgt])
+    return jnp.concatenate(parts, axis=1)
 
 
 def reciprocal_ranks_streaming(user_reprs, item_matrix, item_bias,
@@ -187,11 +256,8 @@ def reciprocal_ranks_streaming(user_reprs, item_matrix, item_bias,
     (B,) mean reciprocal (average-tie) rank over each row's valid targets.
     """
     safe_targets = jnp.clip(targets, 0, item_matrix.shape[0] - 1)
-    target_scores = (
-        jnp.einsum('bd,btd->bt', user_reprs,
-                   item_matrix[safe_targets],
-                   preferred_element_type=jnp.float32)
-        + item_bias[safe_targets])
+    target_scores = matched_target_scores(user_reprs, item_matrix,
+                                          item_bias, safe_targets)
 
     greater, equal = rank_counts(user_reprs, item_matrix, item_bias,
                                  target_scores, safe_targets,

@@ -6,12 +6,19 @@ MXU, and a running top-k (scores + item ids) is maintained on-chip — the
 ``(batch, num_items)`` score matrix never exists, so precision@k-style
 evaluation scales to catalogs far larger than HBM would allow for
 materialized scores (a 1M-item catalog at batch 256 would need 1 GB per
-batch materialized; this kernel needs only the 512 KB tile).
+batch materialized; this kernel needs only the VMEM tile).
+
+Layout: item-major — scores are ``(tile_items, batch)`` and the running
+top-k is ``(k, batch)`` — so the selection loop indexes the **sublane**
+axis, which Mosaic supports at runtime offsets, and runs as a ``fori_loop``
+with two reused VMEM pool buffers.  (An earlier variant statically unrolled
+the selection and kept one ``(batch, tile)`` temporary live per selected
+element, overflowing the 16 MB VMEM scope beyond ~64 elements.)
 
 Selection is exact and reproduces ``lax.top_k`` tie order (ties broken by
-ascending item id): Mosaic has no sort primitive, so per tile the kernel
-extracts the k best candidates by repeated masked max (k is small), then
-merges them with the running k the same way.
+ascending item id): Mosaic has no sort primitive, so the kernel repeatedly
+extracts the maximum of a candidate pool holding the current tile's scores
+plus the running top-k.
 """
 
 from __future__ import annotations
@@ -24,60 +31,75 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = float('-inf')
+_ID_SENTINEL = 2 ** 30
+
+#: Widest selection handled by one kernel invocation: the per-tile selection
+#: loop costs O(k * tile * batch) VPU work, so very wide fetches instead run
+#: in resume-key rounds (see :func:`streaming_topk`), each re-streaming the
+#: catalog once.
+ROUND_K = 128
 
 
-def _extract_topk(scores, ids, k):
-    """Exact top-k of (B, W) scores by repeated masked max.
+def _topk_kernel(users_t_ref, resume_score_ref, resume_id_ref, items_ref,
+                 bias_ref, out_scores_ref, out_ids_ref, pool_s, pool_i,
+                 *, k, valid_items, tile_items):
+    """One grid step: score an item tile, merge it into the running top-k.
 
-    Ties break by ascending id, matching lax.top_k on id-ordered input.
-    Returns ((B, k) scores, (B, k) ids).
+    Refs (item-major layout):
+        users_t_ref      : (D, B)       VMEM, resident across steps
+        resume_score_ref : (1, B)       VMEM — selection resumes strictly
+        resume_id_ref    : (1, B)         after this (score, id) key
+        items_ref        : (TILE, D)    VMEM, this step's item tile
+        bias_ref         : (TILE, 1)    VMEM
+        out_scores_ref   : (k, B)       VMEM accumulator, sorted descending
+        out_ids_ref      : (k, B)       VMEM accumulator
+        pool_s, pool_i   : (TILE+k, B)  VMEM scratch: candidate pool
     """
-    out_scores = []
-    out_ids = []
-    for _ in range(k):
-        best = jnp.max(scores, axis=1, keepdims=True)            # (B, 1)
-        # Among positions achieving the max, pick the smallest id.
-        candidate_ids = jnp.where(scores == best, ids, jnp.int32(2 ** 30))
-        best_id = jnp.min(candidate_ids, axis=1, keepdims=True)  # (B, 1)
-        out_scores.append(best)
-        out_ids.append(best_id)
-        # Mask out the selected position for the next round.
-        scores = jnp.where((scores == best) & (ids == best_id),
-                           _NEG_INF, scores)
-    return (jnp.concatenate(out_scores, axis=1),
-            jnp.concatenate(out_ids, axis=1))
-
-
-def _topk_kernel(users_ref, items_ref, bias_ref, out_scores_ref,
-                 out_ids_ref, *, k, valid_items, tile_items):
     step = pl.program_id(0)
 
     @pl.when(step == 0)
     def _init():
         out_scores_ref[:] = jnp.full_like(out_scores_ref, _NEG_INF)
-        out_ids_ref[:] = jnp.zeros_like(out_ids_ref)
+        out_ids_ref[:] = jnp.full_like(out_ids_ref, jnp.int32(_ID_SENTINEL))
 
-    scores = jnp.dot(users_ref[:], items_ref[:].T,
+    scores = jnp.dot(items_ref[:], users_t_ref[:],
                      preferred_element_type=jnp.float32)
-    scores = scores + bias_ref[:]
+    scores = scores + bias_ref[:]                     # (TILE, B)
 
     base = step * tile_items
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    global_ids = base + col
-    scores = jnp.where(global_ids < valid_items, scores, _NEG_INF)
+    rows = base + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
 
-    tile_scores, tile_ids = _extract_topk(scores, global_ids, k)
+    # Resume support for wide fetches: exclude every item at or before the
+    # resume key in the selection total order (score desc, id asc), so a
+    # later round continues exactly where the previous round stopped.
+    resume_score = resume_score_ref[:]                # (1, B)
+    resume_id = resume_id_ref[:]                      # (1, B)
+    already_selected = ((scores > resume_score) |
+                        ((scores == resume_score) & (rows <= resume_id)))
+    countable = (rows < valid_items) & ~already_selected
 
-    merged_scores = jnp.concatenate([out_scores_ref[:], tile_scores],
-                                    axis=1)
-    merged_ids = jnp.concatenate([out_ids_ref[:], tile_ids], axis=1)
-    best_scores, best_ids = _extract_topk(merged_scores, merged_ids, k)
-    out_scores_ref[:] = best_scores
-    out_ids_ref[:] = best_ids
+    # Candidate pool: this tile's scores plus the running top-k.
+    pool_s[pl.ds(0, tile_items), :] = jnp.where(countable, scores, _NEG_INF)
+    pool_i[pl.ds(0, tile_items), :] = rows
+    pool_s[pl.ds(tile_items, k), :] = out_scores_ref[:]
+    pool_i[pl.ds(tile_items, k), :] = out_ids_ref[:]
+
+    def select(r, _):
+        ps = pool_s[:]
+        best = jnp.max(ps, axis=0, keepdims=True)                  # (1, B)
+        best_id = jnp.min(
+            jnp.where(ps == best, pool_i[:], jnp.int32(_ID_SENTINEL)),
+            axis=0, keepdims=True)                                 # (1, B)
+        out_scores_ref[pl.ds(r, 1), :] = best
+        out_ids_ref[pl.ds(r, 1), :] = best_id
+        # Remove the selected entry (ids are unique within the pool).
+        pool_s[:] = jnp.where((pool_i[:] == best_id) & (ps == best),
+                              _NEG_INF, ps)
+        return 0
+
+    jax.lax.fori_loop(0, k, select, 0)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=('k', 'tile_items', 'interpret'))
 def streaming_topk(user_reprs, item_matrix, item_bias, k, tile_items=1024,
                    interpret=False):
     """Exact top-k catalog items per user without materializing scores.
@@ -86,15 +108,68 @@ def streaming_topk(user_reprs, item_matrix, item_bias, k, tile_items=1024,
     ----------
     user_reprs : (B, D) float32
     item_matrix : (N, D) float32; item_bias : (N,) float32
-    k : int (static)
+    k : int (static); must not exceed the catalog size
 
     Returns
     -------
     (scores, ids) : ((B, k), (B, k)) in descending score order, ties broken
         by ascending item id (lax.top_k parity).
+
+    Any ``k`` up to the catalog size is supported.  ``k`` beyond ``ROUND_K``
+    runs in rounds: each round streams the catalog once and selects the next
+    ``ROUND_K`` items *strictly after* the previous round's last selection in
+    the total order (score descending, id ascending), carried between rounds
+    as a per-user resume key.  A fetch of 512 therefore costs 4 catalog
+    passes — with the score matrix still never materialized.
     """
+    num_items = item_matrix.shape[0]
+    if k > num_items:
+        raise ValueError('k ({}) exceeds the catalog size ({})'
+                         .format(k, num_items))
+    batch = user_reprs.shape[0]
+    if k <= ROUND_K:
+        return _streaming_topk_call(user_reprs, item_matrix, item_bias, k,
+                                    tile_items=tile_items,
+                                    interpret=interpret)
+
+    resume_score = jnp.full((batch, 1), jnp.inf, jnp.float32)
+    resume_id = jnp.full((batch, 1), -1, jnp.int32)
+    score_parts, id_parts = [], []
+    remaining = k
+    while remaining > 0:
+        round_k = min(ROUND_K, remaining)
+        scores, ids = _streaming_topk_call(
+            user_reprs, item_matrix, item_bias, round_k,
+            tile_items=tile_items, interpret=interpret,
+            resume_score=resume_score, resume_id=resume_id)
+        score_parts.append(scores)
+        id_parts.append(ids)
+        resume_score = scores[:, -1:]
+        resume_id = ids[:, -1:]
+        remaining -= round_k
+    return (jnp.concatenate(score_parts, axis=1),
+            jnp.concatenate(id_parts, axis=1))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('k', 'tile_items', 'interpret'))
+def _streaming_topk_call(user_reprs, item_matrix, item_bias, k,
+                         tile_items=1024, interpret=False,
+                         resume_score=None, resume_id=None):
+    """One bounded-``k`` kernel launch, optionally resuming after a
+    (score, id) key from a previous round."""
     batch, dim = user_reprs.shape
     num_items = item_matrix.shape[0]
+
+    if resume_score is None:
+        resume_score = jnp.full((batch, 1), jnp.inf, jnp.float32)
+    if resume_id is None:
+        resume_id = jnp.full((batch, 1), -1, jnp.int32)
+
+    # Pad the selection width to the 8-sublane minimum (narrow blocks force
+    # degenerate layouts); the extra selections are sliced off below.
+    orig_k = k
+    k = -(-k // 8) * 8
 
     padded_items = pl.cdiv(num_items, tile_items) * tile_items
     pad = padded_items - num_items
@@ -107,26 +182,34 @@ def streaming_topk(user_reprs, item_matrix, item_bias, k, tile_items=1024,
     kernel = functools.partial(_topk_kernel, k=k, valid_items=num_items,
                                tile_items=tile_items)
 
-    scores, ids = pl.pallas_call(
+    scores_t, ids_t = pl.pallas_call(
         kernel,
         grid=(padded_items // tile_items,),
         in_specs=[
-            pl.BlockSpec((batch, dim), lambda i: (0, 0),
+            pl.BlockSpec((dim, batch), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, batch), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_items, dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_items), lambda i: (0, i),
+            pl.BlockSpec((tile_items, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((batch, k), lambda i: (0, 0),
+            pl.BlockSpec((k, batch), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((batch, k), lambda i: (0, 0),
+            pl.BlockSpec((k, batch), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((batch, k), jnp.float32),
-            jax.ShapeDtypeStruct((batch, k), jnp.int32),
+            jax.ShapeDtypeStruct((k, batch), jnp.float32),
+            jax.ShapeDtypeStruct((k, batch), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_items + k, batch), jnp.float32),
+            pltpu.VMEM((tile_items + k, batch), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * batch * dim * padded_items,
@@ -134,5 +217,6 @@ def streaming_topk(user_reprs, item_matrix, item_bias, k, tile_items=1024,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(user_reprs, item_matrix, item_bias[None, :])
-    return scores, ids
+    )(user_reprs.T, resume_score.T, resume_id.T, item_matrix,
+      item_bias[:, None])
+    return scores_t.T[:, :orig_k], ids_t.T[:, :orig_k]

@@ -334,6 +334,11 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
         Parameters
         ----------
         sequences : array of shape (max_sequence_length,)
+            A single sequence (matching the reference contract,
+            `/root/reference/spotlight/sequence/implicit.py:288-331`).  A
+            2-d input is accepted only with one row; for batched scoring use
+            the vectorized internal path the evaluators use
+            (:meth:`_score_catalog_sequences`).
         item_ids : array, optional
             Item ids to score; all items if omitted.
 
@@ -342,12 +347,18 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
         np.ndarray of predicted scores
         """
         sequences = np.atleast_2d(np.asarray(sequences))
+        if sequences.ndim != 2 or sequences.shape[0] != 1:
+            raise ValueError(
+                'predict() takes a single sequence (shape ({},)); got shape '
+                '{}. For a batch of sequences, score them with '
+                '_score_catalog_sequences(sequences).'.format(
+                    sequences.shape[-1], sequences.shape))
         self._check_input(sequences)
         if item_ids is not None:
             self._check_input(item_ids)
 
         scores = self._score_catalog_sequences(
-            sequences.astype(np.int32).reshape(1, -1)).flatten()
+            sequences.astype(np.int32)).flatten()
         if item_ids is not None:
             scores = scores[np.asarray(item_ids).flatten()]
         return scores

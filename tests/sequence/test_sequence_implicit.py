@@ -178,3 +178,23 @@ def test_subsequence_training_windows():
         random_state=np.random.RandomState(RANDOM_SEED))
     model.fit(train_windows)
     assert sequence_mrr_score(model, test).mean() > 0.5
+
+
+def test_predict_rejects_multirow_batch():
+    """predict() is a single-sequence contract (reference
+    `sequence/implicit.py:288-331`); a (B, T) batch must raise instead of
+    silently concatenating rows into one long sequence."""
+    train, _ = _get_synthetic_data(num_interactions=2000)
+    model = ImplicitSequenceModel(
+        loss=LOSS, batch_size=BATCH_SIZE, embedding_dim=8, n_iter=1,
+        random_state=np.random.RandomState(RANDOM_SEED))
+    model.fit(train)
+
+    single = model.predict(train.sequences[0])
+    assert single.shape == (train.num_items,)
+    # 2-d input with a single row is equivalent to the 1-d form.
+    np.testing.assert_array_equal(
+        model.predict(train.sequences[:1]), single)
+
+    with pytest.raises(ValueError, match='single sequence'):
+        model.predict(train.sequences[:2])

@@ -45,7 +45,9 @@ def test_bloom_hash_matches_reference_table(random_state):
     indices = np.arange(num_embeddings, dtype=np.int32)
     table = []
     for seed in SEEDS[:num_hashes]:
-        hashed = murmurhash3_32(indices, seed=seed, positive=True)
+        # Signed hash + numpy modulo, exactly as the reference's
+        # `_get_hashed_indices` (`layers.py:178-186`) computes its table.
+        hashed = murmurhash3_32(indices, seed=seed)
         hashed[0] = 0  # padding idx hashes to 0
         table.append(hashed % compressed)
     table = np.stack(table, axis=1).astype(np.int64)

@@ -150,3 +150,30 @@ def test_ids_beyond_int32_rejected():
     with _pytest.raises(ValueError, match='int32 range'):
         Interactions(np.array([2 ** 31 + 5], dtype=np.int64),
                      np.array([1], dtype=np.int64))
+
+
+def test_empty_interactions():
+    # With explicit dims, an empty dataset is valid and round-trips.
+    empty = Interactions(np.array([], dtype=np.int64),
+                         np.array([], dtype=np.int64),
+                         num_users=5, num_items=7)
+    assert len(empty) == 0
+    assert empty.tocsr().shape == (5, 7)
+
+    # Without dims there is nothing to infer from: loud error, not an
+    # opaque zero-size reduction failure.
+    with pytest.raises(ValueError, match='empty'):
+        Interactions(np.array([], dtype=np.int64),
+                     np.array([], dtype=np.int64))
+
+    with pytest.raises(ValueError, match='equal length'):
+        Interactions(np.array([1, 2]), np.array([1]))
+
+
+def test_empty_sequence_interactions_requires_num_items():
+    from spotlight_tpu.data.interactions import SequenceInteractions
+
+    with pytest.raises(ValueError, match='num_items'):
+        SequenceInteractions(np.zeros((0, 5), dtype=np.int32))
+    seq = SequenceInteractions(np.zeros((0, 5), dtype=np.int32), num_items=9)
+    assert seq.num_items == 9

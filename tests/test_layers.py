@@ -120,3 +120,12 @@ def test_scaled_embedding_bag_modes(random_state):
 
     with pytest.raises(ValueError, match='sum'):
         ScaledEmbeddingBag(10, 4, mode='mean')
+
+
+def test_bloom_embedding_degenerate_sizes_rejected():
+    with pytest.raises(ValueError, match='at least 1'):
+        BloomEmbedding(10, 4, compression_ratio=0.05)
+    with pytest.raises(ValueError, match='num_hash_functions'):
+        BloomEmbedding(100, 4, num_hash_functions=0)
+    # Boundary: exactly one compressed row is allowed.
+    BloomEmbedding(10, 4, compression_ratio=0.1)

@@ -228,3 +228,111 @@ def test_streaming_sequence_mrr_on_mesh_matches():
     # Rank jitter near ties from per-shard matmul accumulation order.
     np.testing.assert_allclose(streamed, standard, rtol=0.05, atol=5e-3)
     assert abs(streamed.mean() - standard.mean()) < 1e-3
+
+
+def test_rank_counts_wide_targets_exact():
+    """Target widths beyond the kernel's 128-wide chunk stay on the kernel
+    path (chunked) and remain bit-exact vs a host oracle."""
+    import jax
+    import jax.numpy as jnp
+    from spotlight_tpu.ops.kernels.ranking import rank_counts
+
+    rs = np.random.RandomState(0)
+    B, D, N, T = 4, 16, 700, 300
+    users = jnp.asarray(rs.randn(B, D).astype(np.float32))
+    items = jnp.asarray(rs.randn(N, D).astype(np.float32))
+    bias = jnp.asarray(rs.randn(N).astype(np.float32))
+    tids = jnp.asarray(rs.randint(0, N, (B, T)).astype(np.int32))
+
+    scores = np.asarray(users @ items.T + bias[None])
+    tscores = jnp.asarray(
+        np.take_along_axis(scores, np.asarray(tids), axis=1))
+
+    greater, equal = rank_counts(users, items, bias, tscores, tids,
+                                 tile_items=256, interpret=True)
+    g_ref = np.zeros((B, T))
+    e_ref = np.zeros((B, T))
+    for b in range(B):
+        for t in range(T):
+            tid = int(tids[b, t])
+            ts = scores[b, tid]
+            others = np.arange(N) != tid
+            g_ref[b, t] = (scores[b, others] > ts).sum()
+            e_ref[b, t] = (scores[b, others] == ts).sum()
+    assert np.array_equal(np.asarray(greater), g_ref)
+    assert np.array_equal(np.asarray(equal), e_ref)
+
+
+def test_streaming_topk_wide_fetch_exact():
+    """Fetch widths beyond 128 run in resume-key rounds and reproduce
+    lax.top_k (including k == catalog size)."""
+    import jax
+    import jax.numpy as jnp
+    from spotlight_tpu.ops.kernels.topk import streaming_topk
+
+    rs = np.random.RandomState(1)
+    B, D, N = 4, 16, 700
+    users = jnp.asarray(rs.randn(B, D).astype(np.float32))
+    items = jnp.asarray(rs.randn(N, D).astype(np.float32))
+    bias = jnp.asarray(rs.randn(N).astype(np.float32))
+    full = jnp.asarray(np.asarray(users @ items.T + bias[None]))
+
+    for k in (300, N):
+        s, ids = streaming_topk(users, items, bias, k, tile_items=256,
+                                interpret=True)
+        ref_s, ref_i = jax.lax.top_k(full, k)
+        assert np.array_equal(np.asarray(ids), np.asarray(ref_i))
+        # Kernel matmul accumulation order differs from XLA's by ~1 ulp.
+        np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s),
+                                   atol=1e-5)
+
+    with pytest.raises(ValueError, match='exceeds the catalog'):
+        streaming_topk(users, items, bias, N + 1, interpret=True)
+
+
+def test_streaming_mrr_heavy_user_stays_streaming(fitted_factorization):
+    """A user with >128 test items no longer drops the whole evaluation to
+    the materialize-sort path: results must match the standard path."""
+    train, test, model = fitted_factorization
+
+    # Give user 0 a very wide test row (every item).
+    num_items = train.num_items
+    from spotlight_tpu.data import Interactions
+    wide = Interactions(
+        np.concatenate([np.zeros(num_items, dtype=np.int64),
+                        test.user_ids]),
+        np.concatenate([np.arange(num_items, dtype=np.int64),
+                        test.item_ids]),
+        num_users=train.num_users, num_items=num_items)
+    assert num_items > 85  # the padded target width exceeds 128 with dups
+
+    standard = mrr_score(model, wide, train=train, streaming=False)
+    streamed = mrr_score(model, wide, train=train, streaming=True)
+    np.testing.assert_allclose(streamed, standard, rtol=1e-4, atol=1e-6)
+
+
+def test_padded_and_dedup_rows_vectorized():
+    from spotlight_tpu.evaluation import _dedup_rows, _padded_rows
+    import scipy.sparse as sp
+
+    rs = np.random.RandomState(3)
+    dense = (rs.rand(20, 37) < 0.15).astype(np.float64)
+    csr = sp.csr_matrix(dense)
+    users = np.where(dense.any(axis=1))[0]
+    rows = _padded_rows(csr, users)
+    for i, u in enumerate(users):
+        expected = np.where(dense[u])[0]
+        assert np.array_equal(rows[i, :len(expected)], expected)
+        assert (rows[i, len(expected):] == -1).all()
+
+    # Empty matrix: all-pad output, no indexing error.
+    empty = sp.csr_matrix((5, 7))
+    out = _padded_rows(empty, np.array([0, 3]))
+    assert (out == -1).all()
+
+    mat = rs.randint(0, 9, (11, 13)).astype(np.int64)
+    dd = _dedup_rows(mat)
+    for i in range(len(mat)):
+        expected = np.unique(mat[i])
+        assert np.array_equal(dd[i, :len(expected)], expected)
+        assert (dd[i, len(expected):] == -1).all()
