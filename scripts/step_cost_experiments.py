@@ -231,6 +231,208 @@ def run_epoch_variant(label, bias, mode='', epochs=10):
               epochs * N / dt / 1e6, float(loss)), flush=True)
 
 
+def _sparse_adam_group(ids, triples, t, num_rows, lr=LR, b1=0.9, b2=0.999,
+                       eps=1e-8):
+    """Touched-rows Adam via sort + segment-sum dedup.
+
+    ``triples`` is a list of (param, mu, nu, grad_rows) where grad_rows has
+    one row per occurrence in ``ids`` (duplicates allowed; they are summed,
+    matching torch SparseAdam / dense-scatter-add semantics).  Returns the
+    updated triples.  Untouched rows are left entirely alone (lazy
+    semantics — the documented deviation from dense Adam).
+    """
+    n = ids.shape[0]
+    order = jnp.argsort(ids)
+    s_ids = ids[order]
+    head = jnp.concatenate(
+        [jnp.ones((1,), bool), s_ids[1:] != s_ids[:-1]])
+    seg = jnp.cumsum(head) - 1
+    uids = jax.ops.segment_max(s_ids, seg, num_segments=n)
+    valid = jnp.arange(n) < head.sum()
+    uids = jnp.where(valid, uids, num_rows)  # OOB -> drop/fill
+
+    out = []
+    for param, mu, nu, grad_rows in triples:
+        sg = jax.ops.segment_sum(grad_rows[order], seg, num_segments=n)
+        m0 = mu.at[uids].get(mode='fill', fill_value=0)
+        v0 = nu.at[uids].get(mode='fill', fill_value=0)
+        m = b1 * m0 + (1 - b1) * sg
+        v = b2 * v0 + (1 - b2) * sg * sg
+        mhat = m / (1 - b1 ** t)
+        vhat = v / (1 - b2 ** t)
+        delta = -lr * mhat / (jnp.sqrt(vhat) + eps)
+        param = param.at[uids].add(delta, mode='drop')
+        mu = mu.at[uids].set(m, mode='drop')
+        nu = nu.at[uids].set(v, mode='drop')
+        out.append((param, mu, nu))
+    return out
+
+
+def make_lazy_epoch(variant='sort'):
+    """Sparse-update formulations: grads w.r.t. *gathered rows* only, so the
+    dense table-sized scatter-add and dense Adam moment pass never happen.
+
+    variant='sort':   sort+segment dedup, touched-rows Adam (no dense
+                      buffers at all).
+    variant='dense':  keep the dense scatter-add grad (XLA autodiff), then
+                      row-indexed Adam at occurrence ids (duplicates write
+                      identical values; moments stay lazy).
+    variant='sortb':  'sort' with biases folded into column D (two tables
+                      instead of four).
+    """
+    users, items = make_data()
+    key0 = jax.random.PRNGKey(0)
+    fused = variant == 'sortb'
+    width = D + 1 if fused else D
+
+    def table(n, d):
+        w = jax.random.normal(key0, (n, d)) / D
+        if fused:
+            w = w.at[:, D].set(0.0)
+        return w
+
+    params = {'U': table(NU, width), 'I': table(NI, width)}
+    if not fused:
+        params['bu'] = jnp.zeros((NU,))
+        params['bi'] = jnp.zeros((NI,))
+    opt = {
+        'mu': jax.tree_util.tree_map(jnp.zeros_like, params),
+        'nu': jax.tree_util.tree_map(jnp.zeros_like, params),
+        't': jnp.zeros((), jnp.int32),
+    }
+
+    def score_rows(u_rows, i_rows, bu_rows, bi_rows):
+        if fused:
+            return ((u_rows[None, :, :D] * i_rows[..., :D]).sum(-1)
+                    + u_rows[None, :, D] + i_rows[..., D])
+        return ((u_rows[None] * i_rows).sum(-1)
+                + bu_rows[None] + bi_rows)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def epoch(p, opt_state, key, users, items):
+        keys = jax.random.split(key, STEPS)
+
+        def step(carry, xs):
+            p, opt_state = carry
+            bu_ids, bi_ids, k = xs
+            neg = jax.random.randint(k, bu_ids.shape, 0, NI,
+                                     dtype=jnp.int32)
+            all_items = jnp.concatenate([bi_ids, neg])
+            t = opt_state['t'] + 1
+
+            if variant == 'dense':
+                def batch_loss(p):
+                    u = p['U'][bu_ids]
+                    i = p['I'][all_items].reshape(2, BS, -1)
+                    s = score_rows(u, i, p['bu'][bu_ids],
+                                   p['bi'][all_items].reshape(2, BS))
+                    return _bpr(s[0], s[1])
+                loss, g = jax.value_and_grad(batch_loss)(p)
+                new_p, mu, nu = dict(p), dict(opt_state['mu']), \
+                    dict(opt_state['nu'])
+                for name, ids in (('U', bu_ids), ('I', all_items),
+                                  ('bu', bu_ids), ('bi', all_items)):
+                    grows = g[name][ids]
+                    m = 0.9 * opt_state['mu'][name][ids] + 0.1 * grows
+                    v = (0.999 * opt_state['nu'][name][ids]
+                         + 0.001 * grows * grows)
+                    mhat = m / (1 - 0.9 ** t)
+                    vhat = v / (1 - 0.999 ** t)
+                    delta = -LR * mhat / (jnp.sqrt(vhat) + 1e-8)
+                    new_p[name] = p[name].at[ids].set(p[name][ids] + delta)
+                    mu[name] = opt_state['mu'][name].at[ids].set(m)
+                    nu[name] = opt_state['nu'][name].at[ids].set(v)
+                return (new_p, {'mu': mu, 'nu': nu, 't': t}), loss
+
+            # sort variants: differentiate w.r.t. gathered rows only.
+            u_rows = p['U'][bu_ids]
+            i_rows = p['I'][all_items]
+            if fused:
+                bu_rows = bi_rows = jnp.zeros((1,))
+
+                def loss_fn(u_rows, i_rows):
+                    s = score_rows(u_rows, i_rows.reshape(2, BS, -1),
+                                   None, None)
+                    return _bpr(s[0], s[1])
+                loss, (gu, gi) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1))(u_rows, i_rows)
+            else:
+                bu_rows = p['bu'][bu_ids]
+                bi_rows = p['bi'][all_items]
+
+                def loss_fn(u_rows, i_rows, bu_rows, bi_rows):
+                    s = score_rows(u_rows, i_rows.reshape(2, BS, -1),
+                                   bu_rows, bi_rows.reshape(2, BS))
+                    return _bpr(s[0], s[1])
+                loss, (gu, gi, gbu, gbi) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1, 2, 3))(
+                        u_rows, i_rows, bu_rows, bi_rows)
+
+            mu, nu = opt_state['mu'], opt_state['nu']
+            u_triples = [(p['U'], mu['U'], nu['U'], gu)]
+            i_triples = [(p['I'], mu['I'], nu['I'], gi)]
+            if not fused:
+                u_triples.append((p['bu'], mu['bu'], nu['bu'], gbu))
+                i_triples.append((p['bi'], mu['bi'], nu['bi'], gbi))
+            u_out = _sparse_adam_group(bu_ids, u_triples, t, NU)
+            i_out = _sparse_adam_group(all_items, i_triples, t, NI)
+
+            new_p = {'U': u_out[0][0], 'I': i_out[0][0]}
+            new_mu = {'U': u_out[0][1], 'I': i_out[0][1]}
+            new_nu = {'U': u_out[0][2], 'I': i_out[0][2]}
+            if not fused:
+                new_p.update(bu=u_out[1][0], bi=i_out[1][0])
+                new_mu.update(bu=u_out[1][1], bi=i_out[1][1])
+                new_nu.update(bu=u_out[1][2], bi=i_out[1][2])
+            return (new_p, {'mu': new_mu, 'nu': new_nu, 't': t}), loss
+
+        (p, opt_state), losses = jax.lax.scan(
+            step, (p, opt_state), (users, items, keys))
+        return p, opt_state, losses.mean()
+
+    return epoch, params, opt
+
+
+def run_lazy_variant(label, variant, epochs=10):
+    epoch, params, opt_state = make_lazy_epoch(variant)
+    users, items = make_data()
+    p = jax.tree_util.tree_map(jnp.copy, params)
+    s = jax.tree_util.tree_map(jnp.copy, opt_state)
+    p, s, loss = epoch(p, s, jax.random.PRNGKey(1), users, items)
+    float(loss)
+    start = time.perf_counter()
+    for e in range(epochs):
+        p, s, loss = epoch(p, s, jax.random.PRNGKey(2 + e), users, items)
+    float(loss)
+    dt = time.perf_counter() - start
+    print('{:34s} {:7.1f} ms/epoch ({:6.3f} ms/step, {:5.2f}M ex/s) '
+          'final loss {:.4f}'.format(
+              label, dt / epochs * 1e3, dt / epochs / STEPS * 1e3,
+              epochs * N / dt / 1e6, float(loss)), flush=True)
+
+
+def sort_probe():
+    """Cost of argsort + segment machinery at batch sizes 8K/16K."""
+    for n in (8192, 16384):
+        ids = jnp.asarray(
+            np.random.RandomState(0).randint(0, NI, (STEPS, n)),
+            dtype=jnp.int32)
+
+        @jax.jit
+        def f(ids):
+            def step(c, b):
+                order = jnp.argsort(b)
+                s = b[order]
+                head = jnp.concatenate(
+                    [jnp.ones((1,), bool), s[1:] != s[:-1]])
+                seg = jnp.cumsum(head) - 1
+                return c + seg[-1], None
+            out, _ = jax.lax.scan(step, jnp.int32(0), ids)
+            return out
+
+        timed('argsort+segments n={}'.format(n), f, ids)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else 'all'
     print('backend:', jax.default_backend(), flush=True)
@@ -255,6 +457,14 @@ def main():
     if which in ('fused_nopt', 'all'):
         run_epoch_variant('fused bias, grads + trivial sgd', 'fused',
                           mode='nopt')
+    if which in ('sortprobe', 'all'):
+        sort_probe()
+    if which in ('lazyadam', 'all'):
+        run_lazy_variant('lazy adam (sort+segment)', 'sort')
+    if which in ('lazydense', 'all'):
+        run_lazy_variant('lazy adam (dense grad buffer)', 'dense')
+    if which in ('lazyfused', 'all'):
+        run_lazy_variant('lazy adam (sort, fused bias)', 'sortb')
 
 
 if __name__ == '__main__':

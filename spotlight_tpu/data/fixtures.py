@@ -1,0 +1,164 @@
+"""Deterministic MovieLens-100K-scale fixture dataset.
+
+This environment has no network egress, so the reference's real-data CI
+gates (`/root/reference/tests/factorization/test_implicit.py:25-57` trains
+on the actual MovieLens-100K download) cannot run against the published
+file.  This module generates a *stand-in at the same scale and with the
+same structure* — 943 users, 1682 items, exactly 100,000 ratings on a
+1-5 integer scale, every user with >= 20 ratings — and installs it through
+the standard dataset cache, so ``get_movielens_dataset('100K')`` exercises
+the full transport + HDF5 + ``Interactions`` path end-to-end.
+
+The generator mimics the statistics that make the real dataset learnable:
+
+- **Item popularity** follows a Zipf-like long tail (the real 100K's top
+  item has ~583 ratings; the tail has 1), correlated with item quality.
+- **User activity** is log-normal, clipped to the real dataset's [20, 737]
+  range and renormalized to sum to exactly 100,000.
+- **Ratings** come from a low-rank user x item affinity plus user/item
+  biases around the real global mean (3.53), with observation noise chosen
+  so a well-fit factorization lands near the published test RMSE (~0.95,
+  `examples/movielens_explicit/readme.md`).
+- **Which items a user rates** is biased toward that user's high-affinity
+  items (Gumbel-top-k over log-popularity + affinity), so implicit ranking
+  models have signal beyond popularity — as in the real data.
+
+When a real dataset cache is provisioned, the cache-gated tests in
+``tests/test_datasets.py`` take over; nothing here overwrites an existing
+cache file.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+NUM_USERS = 943
+NUM_ITEMS = 1682
+NUM_RATINGS = 100_000
+GLOBAL_MEAN = 3.53
+LATENT_DIM = 8
+
+FIXTURE_SEED = 20260818
+
+
+def generate_movielens_100k_like(seed=FIXTURE_SEED):
+    """Generate the fixture columns.
+
+    Returns
+    -------
+    dict with keys 'user_id', 'item_id', 'rating', 'timestamp'
+        int32/float32 arrays of length ``NUM_RATINGS``.  Ids are 0-based
+        (the packaged real file is 0-based too; the reference adds +1 for
+        num_users/num_items headroom inside ``Interactions``).
+    """
+    rs = np.random.RandomState(seed)
+
+    # Latent structure: low-rank affinity + biases.
+    user_factors = rs.normal(0, 1.0 / np.sqrt(LATENT_DIM),
+                             (NUM_USERS, LATENT_DIM))
+    item_factors = rs.normal(0, 1.0 / np.sqrt(LATENT_DIM),
+                             (NUM_ITEMS, LATENT_DIM))
+    user_bias = rs.normal(0, 0.35, NUM_USERS)
+    item_bias = rs.normal(0, 0.45, NUM_ITEMS)
+    affinity = user_factors @ item_factors.T  # (U, I)
+
+    # Item popularity: Zipf-ish tail, tilted toward well-liked items.
+    ranks = np.arange(1, NUM_ITEMS + 1, dtype=np.float64)
+    zipf = 1.0 / ranks ** 0.9
+    rs.shuffle(zipf)
+    log_pop = np.log(zipf) + 0.8 * item_bias
+
+    # Per-user rating counts: log-normal in [20, 737], total exactly 100K.
+    counts = np.exp(rs.normal(4.2, 0.75, NUM_USERS))
+    counts = np.clip(counts, 20, 737)
+    counts = np.floor(counts * (NUM_RATINGS / counts.sum())).astype(np.int64)
+    counts = np.clip(counts, 20, NUM_ITEMS - 1)
+    deficit = NUM_RATINGS - counts.sum()
+    # Distribute the rounding deficit over users with headroom.
+    order = rs.permutation(NUM_USERS)
+    for u in np.tile(order, 10):
+        if deficit == 0:
+            break
+        step = 1 if deficit > 0 else -1
+        new = counts[u] + step
+        if 20 <= new <= NUM_ITEMS - 1:
+            counts[u] = new
+            deficit -= step
+    assert counts.sum() == NUM_RATINGS, counts.sum()
+
+    users = np.repeat(np.arange(NUM_USERS, dtype=np.int32), counts)
+    items = np.empty(NUM_RATINGS, dtype=np.int32)
+    timestamps = np.empty(NUM_RATINGS, dtype=np.int32)
+
+    base_time = 874_000_000  # the real dataset's epoch-seconds era
+    offset = 0
+    for u in range(NUM_USERS):
+        n_u = counts[u]
+        # Distinct items via Gumbel-top-k over popularity + affinity.
+        gumbel = rs.gumbel(size=NUM_ITEMS)
+        scores = log_pop + 1.2 * affinity[u] + gumbel
+        chosen = np.argpartition(-scores, n_u)[:n_u].astype(np.int32)
+        items[offset:offset + n_u] = chosen
+        start = base_time + rs.randint(0, 20_000_000)
+        timestamps[offset:offset + n_u] = (
+            start + np.sort(rs.randint(0, 5_000_000, n_u)))
+        offset += n_u
+
+    noise = rs.normal(0, 0.8, NUM_RATINGS)
+    raw = (GLOBAL_MEAN + user_bias[users] + item_bias[items]
+           + affinity[users, items] + noise)
+    ratings = np.clip(np.rint(raw), 1, 5).astype(np.float32)
+
+    return {
+        'user_id': users,
+        'item_id': items,
+        'rating': ratings,
+        'timestamp': timestamps,
+    }
+
+
+def install_movielens_100k_fixture(data_directory=None, seed=FIXTURE_SEED):
+    """Write the fixture as the cached MovieLens-100K HDF5 file.
+
+    Uses the exact cache layout ``get_movielens_dataset`` resolves
+    (`spotlight_tpu/data/movielens.py:38-43`, including the reference's
+    double-prefix filename quirk), so the loader runs its real code path.
+    Existing cache files are never overwritten.
+
+    Returns the file path.
+    """
+    import h5py
+
+    from spotlight_tpu.data import transport
+
+    directory = os.path.join(
+        os.path.abspath(data_directory or transport.data_dir()),
+        'movielens', 'v0.2.0')
+    transport.create_data_dir(directory)
+    path = os.path.join(directory, 'movielens_movielens_100K.hdf5')
+    if os.path.isfile(path):
+        return path
+
+    columns = generate_movielens_100k_like(seed)
+    tmp_path = path + '.tmp'
+    with h5py.File(tmp_path, 'w') as f:
+        f['/user_id'] = columns['user_id']
+        f['/item_id'] = columns['item_id']
+        f['/rating'] = columns['rating']
+        f['/timestamp'] = columns['timestamp']
+        # Mark the file so gate tests can distinguish the stand-in from a
+        # provisioned real dataset (and never mistake one for the other).
+        f.attrs['synthetic_fixture'] = True
+        f.attrs['generator_seed'] = seed
+    os.replace(tmp_path, path)
+    return path
+
+
+def is_synthetic_fixture(path):
+    """True when ``path`` is a fixture written by this module."""
+    import h5py
+
+    with h5py.File(path, 'r') as f:
+        return bool(f.attrs.get('synthetic_fixture', False))

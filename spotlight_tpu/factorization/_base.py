@@ -166,18 +166,13 @@ class _FactorizationBase(SerializableEstimatorMixin):
 
         @jax.jit
         def item_factors(params):
-            _user_emb, item_emb, _user_bias, item_bias = net._layers()
-            all_items = jnp.arange(net.num_items, dtype=jnp.int32)
-            matrix = item_emb.apply(params['item_embeddings'], all_items)
-            bias = item_bias.apply(params['item_biases'], all_items)[..., 0]
-            return matrix, bias
+            return net.item_factors(params)
 
         @jax.jit
         def user_reprs(params, user_ids):
-            user_emb, *_rest = net._layers()
             # The per-user bias shifts every item's score equally and so
             # cannot change ranks; it is dropped from the factors.
-            return user_emb.apply(params['user_embeddings'], user_ids)
+            return net.user_factors(params, user_ids)
 
         return item_factors, user_reprs
 

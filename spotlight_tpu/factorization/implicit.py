@@ -150,18 +150,15 @@ class ImplicitFactorizationModel(_FactorizationBase):
         data = training.place_data({
             'user_ids': training.pad_array(user_ids, padded),
             'item_ids': training.pad_array(item_ids, padded),
-            'mask': training.valid_mask(n, padded),
         }, self._mesh)
 
         epoch_fn = self._epoch_fn(num_batches)
+        drain = training.EpochLossDrain(verbose)
         for epoch_num in range(self._n_iter):
             (self._params, self._opt_state, epoch_loss) = epoch_fn(
-                self._params, self._opt_state, self._next_key(), data)
-            epoch_loss = float(epoch_loss)
-
-            if verbose:
-                print('Epoch {}: loss {}'.format(epoch_num, epoch_loss))
-            training.check_degenerate(epoch_loss)
+                self._params, self._opt_state, self._next_key(), data, n)
+            drain.push(epoch_num, epoch_loss)
+        drain.finish()
 
         return self
 

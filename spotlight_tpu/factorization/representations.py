@@ -13,6 +13,19 @@ The representation exposes two scoring paths:
   path behind batched evaluation (the reference instead loops user-by-user in
   Python, `evaluation.py:42-52`).
 
+Table layout (TPU design departure): with the default dense embeddings, each
+side keeps **one fused table** of width ``embedding_dim + 1`` whose last
+column is the bias (:class:`~spotlight_tpu.ops.embeddings.FusedBiasEmbedding`)
+instead of the reference's separate factor + bias tables
+(`representations.py:49-59`).  Training throughput on TPU is bound by
+random-row HBM accesses, and separate 1-wide bias tables cost as much per
+touch as the 64-wide factor rows — fusing them measured +25% end-to-end
+(docs/performance.md).  The semantics are identical: Adam/L2/gradients are
+elementwise, so the fused layout produces the same updates as four tables.
+When custom embedding layers are injected (e.g. a
+:class:`~spotlight_tpu.ops.embeddings.BloomEmbedding`), the classic
+four-table layout is used instead.
+
 Any object with the same ``init/apply`` signature can be injected into the
 estimators via their ``representation=`` escape hatch, mirroring the
 reference's coupling rule (`factorization/implicit.py:63-67`).
@@ -26,7 +39,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from spotlight_tpu.ops.embeddings import ScaledEmbedding, ZeroEmbedding
+from spotlight_tpu.ops.embeddings import (FusedBiasEmbedding, ScaledEmbedding,
+                                          ZeroEmbedding)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,10 +54,18 @@ class BilinearNet:
     embedding_dim : int, optional
     user_embedding_layer : embedding layer, optional
         Custom user embedding layer (e.g. a
-        :class:`~spotlight_tpu.ops.embeddings.BloomEmbedding`).
+        :class:`~spotlight_tpu.ops.embeddings.BloomEmbedding`).  Injecting
+        any custom layer selects the four-table layout.
     item_embedding_layer : embedding layer, optional
     sparse : bool
         API-parity no-op (XLA embedding gradients are scatter-adds).
+    fused : bool, optional
+        Force the fused-bias layout on (True) or off (False).  Default
+        (None): fused exactly when no custom layers are injected.
+    table_dtype : jnp dtype, optional
+        Storage dtype for the fused tables (default float32).  bfloat16
+        halves gather/scatter bytes (+20% measured throughput); scores are
+        always computed in float32.  Only honoured by the fused layout.
     """
 
     num_users: int
@@ -54,6 +76,30 @@ class BilinearNet:
     sparse: bool = False
     user_bias_layer: Optional[object] = None
     item_bias_layer: Optional[object] = None
+    fused: Optional[bool] = None
+    table_dtype: object = jnp.float32
+
+    @property
+    def _fused(self):
+        if self.fused is not None:
+            return self.fused
+        return (self.user_embedding_layer is None
+                and self.item_embedding_layer is None
+                and self.user_bias_layer is None
+                and self.item_bias_layer is None)
+
+    def _fused_layers(self):
+        """(user_layer, item_layer) for the fused layout.
+
+        After :meth:`sharded`, the (wrapped) fused layers live in the
+        ``*_embedding_layer`` fields; before that they are constructed
+        fresh.
+        """
+        user = self.user_embedding_layer or FusedBiasEmbedding(
+            self.num_users, self.embedding_dim)
+        item = self.item_embedding_layer or FusedBiasEmbedding(
+            self.num_items, self.embedding_dim)
+        return user, item
 
     def _layers(self):
         user_embeddings = self.user_embedding_layer or ScaledEmbedding(
@@ -69,9 +115,22 @@ class BilinearNet:
         row-sharded over the given mesh axis.
 
         Hash-compressed (bloom) layers are left unwrapped — they are small by
-        construction and stay replicated.
+        construction and stay replicated.  The fused layout shards its two
+        fused tables (one collective per side instead of two).
         """
         from spotlight_tpu.parallel.sharding import ShardedEmbedding
+
+        if self._fused:
+            user, item = self._fused_layers()
+            return dataclasses.replace(
+                self,
+                fused=True,
+                user_embedding_layer=ShardedEmbedding(
+                    user, axis=axis, num_shards=num_shards,
+                    exchange=exchange),
+                item_embedding_layer=ShardedEmbedding(
+                    item, axis=axis, num_shards=num_shards,
+                    exchange=exchange))
 
         def wrap(layer):
             if layer is None or not isinstance(
@@ -83,6 +142,7 @@ class BilinearNet:
         user_emb, item_emb, user_bias, item_bias = self._layers()
         return dataclasses.replace(
             self,
+            fused=False,
             user_embedding_layer=wrap(user_emb),
             item_embedding_layer=wrap(item_emb),
             user_bias_layer=wrap(user_bias),
@@ -97,6 +157,13 @@ class BilinearNet:
                 return layer.spec()
             return {'weight': P()}
 
+        if self._fused:
+            user, item = self._fused_layers()
+            return {
+                'user_embeddings': spec(user),
+                'item_embeddings': spec(item),
+            }
+
         user_emb, item_emb, user_bias, item_bias = self._layers()
         return {
             'user_embeddings': spec(user_emb),
@@ -106,6 +173,16 @@ class BilinearNet:
         }
 
     def init(self, key):
+        if self._fused:
+            user, item = self._fused_layers()
+            keys = jax.random.split(key, 2)
+            return {
+                'user_embeddings': user.init(keys[0],
+                                             dtype=self.table_dtype),
+                'item_embeddings': item.init(keys[1],
+                                             dtype=self.table_dtype),
+            }
+
         user_emb, item_emb, user_bias, item_bias = self._layers()
         keys = jax.random.split(key, 4)
         return {
@@ -115,12 +192,30 @@ class BilinearNet:
             'item_biases': item_bias.init(keys[3]),
         }
 
+    def _fused_rows(self, params, user_ids=None, item_ids=None):
+        """Gather fused (factors ++ bias) rows in float32."""
+        user, item = self._fused_layers()
+        out = []
+        if user_ids is not None:
+            out.append(user.apply(params['user_embeddings'],
+                                  user_ids).astype(jnp.float32))
+        if item_ids is not None:
+            out.append(item.apply(params['item_embeddings'],
+                                  item_ids).astype(jnp.float32))
+        return out[0] if len(out) == 1 else out
+
     def apply(self, params, user_ids, item_ids):
         """Score (user, item) pairs elementwise.
 
         ``user_ids`` and ``item_ids`` have the same shape; the result has
         that shape too.
         """
+        if self._fused:
+            dim = self.embedding_dim
+            u, i = self._fused_rows(params, user_ids, item_ids)
+            return (jnp.sum(u[..., :dim] * i[..., :dim], axis=-1)
+                    + u[..., dim] + i[..., dim])
+
         user_emb, item_emb, user_bias, item_bias = self._layers()
 
         users = user_emb.apply(params['user_embeddings'], user_ids)
@@ -139,7 +234,8 @@ class BilinearNet:
         latency (docs/performance.md), so the win is touching fewer rows:
         user vectors are gathered once (not once per positive + once per
         negative/tile), and positive + negative item ids go through a
-        single concatenated gather.
+        single concatenated gather.  With the fused layout the whole step
+        is two gathers: one user-row, one stacked item-row.
 
         Parameters
         ----------
@@ -151,16 +247,25 @@ class BilinearNet:
         (positive_scores, negative_scores) with shapes (B,) and
         negative_item_ids.shape.
         """
+        stacked = negative_item_ids.ndim == item_ids.ndim + 1
+        negatives = (negative_item_ids if stacked
+                     else negative_item_ids[None])
+        all_items = jnp.concatenate([item_ids[None], negatives], axis=0)
+
+        if self._fused:
+            dim = self.embedding_dim
+            u, iv = self._fused_rows(params, user_ids, all_items)
+            dots = (jnp.sum(u[None, ..., :dim] * iv[..., :dim], axis=-1)
+                    + u[None, ..., dim] + iv[..., dim])
+            positive = dots[0]
+            negative = dots[1:] if stacked else dots[1]
+            return positive, negative
+
         user_emb, item_emb, user_bias, item_bias = self._layers()
 
         users = user_emb.apply(params['user_embeddings'], user_ids)
         u_bias = user_bias.apply(params['user_biases'], user_ids)[..., 0]
 
-        stacked = negative_item_ids.ndim == item_ids.ndim + 1
-        negatives = (negative_item_ids if stacked
-                     else negative_item_ids[None])
-
-        all_items = jnp.concatenate([item_ids[None], negatives], axis=0)
         vectors = item_emb.apply(params['item_embeddings'], all_items)
         biases = item_bias.apply(params['item_biases'], all_items)[..., 0]
 
@@ -168,6 +273,29 @@ class BilinearNet:
         positive = dots[0]
         negative = dots[1:] if stacked else dots[1]
         return positive, negative
+
+    def item_factors(self, params):
+        """Dense ``(num_items, dim)`` factor matrix and ``(num_items,)``
+        bias vector — the inputs to catalog scoring / streaming ranking."""
+        all_items = jnp.arange(self.num_items, dtype=jnp.int32)
+        if self._fused:
+            dim = self.embedding_dim
+            rows = self._fused_rows(params, item_ids=all_items)
+            return rows[:, :dim], rows[:, dim]
+
+        _user_emb, item_emb, _user_bias, item_bias = self._layers()
+        matrix = item_emb.apply(params['item_embeddings'], all_items)
+        bias = item_bias.apply(params['item_biases'], all_items)[..., 0]
+        return matrix, bias
+
+    def user_factors(self, params, user_ids):
+        """``user_ids.shape + (dim,)`` user factor vectors (bias excluded —
+        a per-user constant shift that cannot change item ranks)."""
+        if self._fused:
+            return self._fused_rows(
+                params, user_ids=user_ids)[..., :self.embedding_dim]
+        user_emb, *_rest = self._layers()
+        return user_emb.apply(params['user_embeddings'], user_ids)
 
     def score_catalog(self, params, user_ids, item_matrix=None,
                       item_bias_vector=None):
@@ -184,16 +312,17 @@ class BilinearNet:
         -------
         (batch, num_items) float array
         """
-        user_emb, item_emb, user_bias, item_bias = self._layers()
-
         if item_matrix is None:
-            all_items = jnp.arange(self.num_items, dtype=jnp.int32)
-            item_matrix = item_emb.apply(params['item_embeddings'], all_items)
-            item_bias_vector = item_bias.apply(
-                params['item_biases'], all_items)[..., 0]
+            item_matrix, item_bias_vector = self.item_factors(params)
 
-        users = user_emb.apply(params['user_embeddings'], user_ids)
-        u_bias = user_bias.apply(params['user_biases'], user_ids)[..., 0]
+        if self._fused:
+            dim = self.embedding_dim
+            rows = self._fused_rows(params, user_ids=user_ids)
+            users, u_bias = rows[..., :dim], rows[..., dim]
+        else:
+            user_emb, _item_emb, user_bias, _item_bias = self._layers()
+            users = user_emb.apply(params['user_embeddings'], user_ids)
+            u_bias = user_bias.apply(params['user_biases'], user_ids)[..., 0]
 
         scores = jnp.dot(users, item_matrix.T,
                          preferred_element_type=jnp.float32)

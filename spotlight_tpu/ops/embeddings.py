@@ -104,6 +104,54 @@ class ZeroEmbedding:
 
 
 @dataclasses.dataclass(frozen=True)
+class FusedBiasEmbedding:
+    """Factor table with its bias packed into the last column.
+
+    Replaces a ``(ScaledEmbedding, ZeroEmbedding)`` pair with a single
+    ``(num_embeddings, embedding_dim + 1)`` table: columns ``[:D]`` are the
+    N(0, 1/D)-initialized latent factors, column ``D`` is the
+    zero-initialized bias.  Numerically identical to the separate-table
+    layout (Adam/L2 are elementwise), but every training step touches half
+    as many random HBM rows — measured +25% training throughput at the
+    bench config on TPU v5e (docs/performance.md).
+
+    The reference keeps biases in separate ``ZeroEmbedding`` tables
+    (`/root/reference/spotlight/factorization/representations.py:49-59`);
+    this fusion is a TPU layout optimization behind the same semantics.
+    """
+
+    num_embeddings: int
+    embedding_dim: int
+    padding_idx: Optional[int] = None
+    sparse: bool = False
+
+    @property
+    def table_width(self):
+        return self.embedding_dim + 1
+
+    def init(self, key, dtype=jnp.float32):
+        factors = (jax.random.normal(
+            key, (self.num_embeddings, self.embedding_dim), dtype=dtype)
+            / self.embedding_dim)
+        weight = jnp.concatenate(
+            [factors, jnp.zeros((self.num_embeddings, 1), dtype=dtype)],
+            axis=1)
+        if self.padding_idx is not None:
+            weight = weight.at[self.padding_idx].set(0.0)
+        return {'weight': weight}
+
+    def apply(self, params, ids):
+        """Gather ``(..., embedding_dim + 1)`` rows (factors ++ bias).
+
+        Rows are returned in float32 regardless of table dtype so the
+        downstream score arithmetic stays full-precision even with
+        ``bfloat16`` tables.
+        """
+        rows = _masked_gather(params['weight'], ids, self.padding_idx)
+        return rows.astype(jnp.float32)
+
+
+@dataclasses.dataclass(frozen=True)
 class ScaledEmbeddingBag:
     """Embedding table with fused gather-and-sum lookup.
 

@@ -58,9 +58,9 @@ def opt_specs_like(opt_state, params, param_specs):
                                   is_leaf=is_params_like)
 
 
-def epoch_scan_distributed(params, opt_state, key, data, num_batches,
-                           batch_size, elems_fn, optimizer, mesh,
-                           param_specs, opt_specs, exchange='psum'):
+def epoch_scan_distributed(params, opt_state, key, data, n_valid,
+                           num_batches, batch_size, elems_fn, optimizer,
+                           mesh, param_specs, opt_specs, exchange='psum'):
     """Distributed analogue of :func:`spotlight_tpu.utils.training.epoch_scan`.
 
     Parameters
@@ -84,17 +84,14 @@ def epoch_scan_distributed(params, opt_state, key, data, num_batches,
         - table gradients then need only the data-axis psum; replicated
           (dense) gradients need the psum over both axes.
     """
-    perm_key, negatives_key = jax.random.split(key)
-    padded_length = num_batches * batch_size
+    from spotlight_tpu.utils.training import shuffle_and_batch
 
-    perm = jax.random.permutation(perm_key, padded_length)
-    shuffled = {name: value[perm] for name, value in data.items()}
-    batched = {
-        name: value.reshape((num_batches, batch_size) + value.shape[1:])
-        for name, value in shuffled.items()}
+    perm_key, negatives_key = jax.random.split(key)
+    batched = shuffle_and_batch(perm_key, data, n_valid, num_batches,
+                                batch_size)
     batch_keys = jax.random.split(negatives_key, num_batches)
 
-    batch_specs = {name: P('data') for name in data}
+    batch_specs = {name: P('data') for name in batched}
     model_size = mesh.shape.get('model', 1)
 
     def _psum_grads_by_spec(grads):

@@ -84,14 +84,39 @@ def valid_mask(n, padded_length):
     return mask
 
 
-def epoch_scan(params, opt_state, key, data, num_batches, batch_size,
-               batch_loss_fn, optimizer):
+def shuffle_and_batch(perm_key, data, n_valid, num_batches, batch_size):
+    """On-device epoch shuffle.
+
+    Returns the shuffled ``data`` reshaped to ``(num_batches, batch_size,
+    ...)`` with a ``'mask'`` entry added.  The row-validity mask (rows past
+    ``n_valid`` are padding) is *derived from the permutation itself*
+    (``perm < n_valid``) rather than stored and gathered: element gathers
+    are HBM-latency-bound on TPU, so skipping the mask gather saves a third
+    of the shuffle cost — and the mask array never has to cross the
+    host-to-device link at all.
+    """
+    padded_length = num_batches * batch_size
+    perm = jax.random.permutation(perm_key, padded_length)
+    batched = {
+        name: value[perm].reshape(
+            (num_batches, batch_size) + value.shape[1:])
+        for name, value in data.items()}
+    batched['mask'] = (perm < n_valid).astype(jnp.float32).reshape(
+        (num_batches, batch_size))
+    return batched
+
+
+def epoch_scan(params, opt_state, key, data, n_valid, num_batches,
+               batch_size, batch_loss_fn, optimizer):
     """One full training epoch as a single traced computation.
 
     Parameters
     ----------
     data : dict of arrays with leading axis ``num_batches * batch_size``
-        Must include every tensor the loss needs (and a ``'mask'`` entry).
+        Must include every tensor the loss needs.  A ``'mask'`` entry
+        marking valid (non-padding) rows is synthesized from ``n_valid``.
+    n_valid : int or scalar
+        Number of real rows; trailing rows are padding.
     batch_loss_fn : callable(params, batch_dict, key) -> scalar loss
     optimizer : optax.GradientTransformation
 
@@ -100,13 +125,8 @@ def epoch_scan(params, opt_state, key, data, num_batches, batch_size,
     (params, opt_state, epoch_loss)
     """
     perm_key, negatives_key = jax.random.split(key)
-    padded_length = num_batches * batch_size
-
-    perm = jax.random.permutation(perm_key, padded_length)
-    shuffled = {name: value[perm] for name, value in data.items()}
-    batched = {
-        name: value.reshape((num_batches, batch_size) + value.shape[1:])
-        for name, value in shuffled.items()}
+    batched = shuffle_and_batch(perm_key, data, n_valid, num_batches,
+                                batch_size)
     batch_keys = jax.random.split(negatives_key, num_batches)
 
     grad_fn = jax.value_and_grad(batch_loss_fn)
@@ -160,23 +180,61 @@ def build_epoch_fn(elems_fn, optimizer, num_batches, batch_size,
 
         # Donating params/opt_state lets XLA update embedding tables in
         # place instead of double-buffering them in HBM.
-        @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def epoch_fn(params, opt_state, key, data):
-            return epoch_scan(params, opt_state, key, data,
+        @functools.partial(jax.jit, donate_argnums=(0, 1),
+                           static_argnums=(4,))
+        def epoch_fn(params, opt_state, key, data, n_valid):
+            return epoch_scan(params, opt_state, key, data, n_valid,
                               num_batches, batch_size, batch_loss, optimizer)
 
         return epoch_fn
 
     from spotlight_tpu.parallel.training import epoch_scan_distributed
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def epoch_fn(params, opt_state, key, data):
+    @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(4,))
+    def epoch_fn(params, opt_state, key, data, n_valid):
         return epoch_scan_distributed(
-            params, opt_state, key, data, num_batches, batch_size,
+            params, opt_state, key, data, n_valid, num_batches, batch_size,
             elems_fn, optimizer, mesh, param_specs, opt_specs,
             exchange=exchange)
 
     return epoch_fn
+
+
+class EpochLossDrain:
+    """Depth-1 pipelined epoch-loss readback.
+
+    Reading an on-device scalar back to the host costs a full round trip
+    (~33 ms through the dev tunnel); doing it synchronously after every
+    epoch serializes host sync against device work.  This helper holds
+    each epoch's device loss until the *next* epoch has been dispatched,
+    so the readback overlaps device compute.  The reference's
+    degenerate-loss guard (`factorization/implicit.py:250-252`) still
+    raises inside ``fit`` with the offending epoch's loss — at most one
+    extra (discarded-quality) epoch of device work is dispatched first.
+    """
+
+    def __init__(self, verbose=False):
+        self._verbose = verbose
+        self._pending = None
+
+    def _drain(self):
+        epoch_num, device_loss = self._pending
+        self._pending = None
+        epoch_loss = float(device_loss)
+        if self._verbose:
+            print('Epoch {}: loss {}'.format(epoch_num, epoch_loss))
+        check_degenerate(epoch_loss)
+
+    def push(self, epoch_num, device_loss):
+        """Register this epoch's (still on-device) loss; reads back and
+        checks the previous epoch's."""
+        if self._pending is not None:
+            self._drain()
+        self._pending = (epoch_num, device_loss)
+
+    def finish(self):
+        if self._pending is not None:
+            self._drain()
 
 
 def check_degenerate(epoch_loss):

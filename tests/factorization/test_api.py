@@ -86,10 +86,11 @@ def test_predict_matches_manual_numpy_math(random_state):
         n_iter=1, random_state=np.random.RandomState(3))
     model.fit(interactions)
 
-    U = np.asarray(model._params['user_embeddings']['weight'])
-    I = np.asarray(model._params['item_embeddings']['weight'])
-    bu = np.asarray(model._params['user_biases']['weight'])[:, 0]
-    bi = np.asarray(model._params['item_biases']['weight'])[:, 0]
+    # Fused layout: factors in columns [:D], bias in column D.
+    Uw = np.asarray(model._params['user_embeddings']['weight'])
+    Iw = np.asarray(model._params['item_embeddings']['weight'])
+    U, bu = Uw[:, :-1], Uw[:, -1]
+    I, bi = Iw[:, :-1], Iw[:, -1]
 
     users = random_state.randint(0, 80, 32)
     items = random_state.randint(0, 60, 32)
