@@ -8,9 +8,16 @@
 - :func:`~spotlight_tpu.ops.kernels.bloom.bloom_gather_sum` — multi-hash
   bloom gather with pipelined row DMAs (benchmarked alternative to the XLA
   gather; see docs/kernels.md).
+- :func:`~spotlight_tpu.ops.kernels.multihot.multihot_gather_sum` — bloom
+  gather+sum as a multi-hot MXU matmul with the transposed-matmul backward
+  (benchmarked alternative; the gather/scatter engines win at realistic
+  table sizes — docs/performance.md).
 """
 
 from spotlight_tpu.ops.kernels.bloom import bloom_gather_sum  # noqa: F401
+from spotlight_tpu.ops.kernels.multihot import (  # noqa: F401
+    multihot_gather_sum,
+)
 from spotlight_tpu.ops.kernels.ranking import (  # noqa: F401
     rank_counts,
     reciprocal_ranks_streaming,
