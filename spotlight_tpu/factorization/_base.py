@@ -53,10 +53,16 @@ class _FactorizationBase(SerializableEstimatorMixin):
         self._opt_specs = None
         self._key = training.key_from_random_state(self._random_state)
 
-        if mesh is not None and batch_size % mesh.shape['data']:
-            raise ValueError(
-                'batch_size ({}) must be divisible by the data mesh axis '
-                'size ({})'.format(batch_size, mesh.shape['data']))
+        if mesh is not None:
+            shards = mesh.shape['data']
+            if exchange == 'alltoall_cf':
+                # The capacity-factored exchange shards the batch over the
+                # model axis too.
+                shards *= mesh.shape['model']
+            if batch_size % shards:
+                raise ValueError(
+                    'batch_size ({}) must be divisible by the batch-shard '
+                    'count ({})'.format(batch_size, shards))
 
     def __repr__(self):
         return _repr_model(self)

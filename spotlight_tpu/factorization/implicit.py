@@ -159,6 +159,9 @@ class ImplicitFactorizationModel(_FactorizationBase):
                 self._params, self._opt_state, self._next_key(), data, n)
             drain.push(epoch_num, epoch_loss)
         drain.finish()
+        # Last epoch's loss, host-side (reference parity: the
+        # verbose print's value; handy for multi-process checks).
+        self._last_epoch_loss = drain.last_loss
 
         return self
 

@@ -112,6 +112,13 @@ class ShardedEmbedding:
             vectors = alltoall_lookup(weight, ids, axis=self.axis)
             return self._masked(vectors, ids)
 
+        if self.exchange == 'alltoall_cf':
+            # Capacity-factored: ids are this device's own batch slice
+            # (the engine shards the batch over the model axis too).
+            vectors, _overflow = alltoall_capacity_lookup(
+                weight, ids, axis=self.axis)
+            return self._masked(vectors, ids)
+
         # Local view (inside shard_map): gather owned rows, psum partials.
         shard = jax.lax.axis_index(self.axis)
         start = shard * local_rows
@@ -195,6 +202,104 @@ def alltoall_lookup(weight_local, ids, axis='model'):
                                   concat_axis=0)
     vectors = returned.sum(axis=0)
     return vectors.reshape(ids.shape + (weight_local.shape[1],))
+
+
+def alltoall_capacity_lookup(weight_local, ids, axis='model', capacity=None):
+    """Capacity-factored row-sharded lookup for model-sharded batches.
+
+    The refinement over :func:`alltoall_lookup` (ROADMAP item 5 /
+    round-1 VERDICT item 6): when the *batch is itself sharded over the
+    table axis* (each of the ``S`` shards holds ``n`` distinct ids instead
+    of replicating all ``S * n``), requests are packed into per-owner
+    buckets of ``capacity`` slots before the exchange.  Per-device
+    exchange volume drops from ``S * n_replicated`` ids (the replicated
+    mode) to ``S * capacity ≈ n`` — a factor of ``S²`` when combined with
+    the batch sharding — and the redundant per-shard loss recomputation
+    disappears with it.
+
+    Phases, per device (cf. the expert-parallel dispatch pattern):
+
+    1. stable-sort local ids by owning shard; pack each owner's ids into
+       its bucket row (slot = rank within owner group, ``-1`` pads);
+    2. ``all_to_all`` the ``(S, capacity)`` request buckets; serve from
+       the local block; ``all_to_all`` the row payloads back;
+    3. unscatter bucket rows back to the original id order.
+
+    With ``capacity = n`` (the default) no id can overflow and the result
+    is exact for any input.  A smaller capacity (e.g. ``2 * n / S``)
+    trades worst-case imbalance for bandwidth the way expert-parallel
+    capacity factors do; ids beyond an owner's capacity would contribute
+    zero vectors, so the function also returns the number of overflowed
+    ids — callers that opt into reduced capacity must check it (the
+    training engine keeps the exact default).
+
+    Must run inside ``shard_map`` with ``check_vma=False`` (like
+    :func:`alltoall_lookup`); gradients flow through the transposed
+    all-to-alls onto the owning shard's rows.
+
+    Parameters
+    ----------
+    weight_local : (rows_per_shard, dim)
+    ids : int array, any shape — this shard's OWN batch slice (distinct
+        from other shards', unlike :func:`alltoall_lookup`'s replicated
+        input)
+    capacity : int, optional
+        Bucket slots per destination shard (default ``ids.size``: exact).
+
+    Returns
+    -------
+    (vectors, overflow) : ``ids.shape + (dim,)`` rows; scalar int32 count
+        of ids that exceeded their owner bucket (0 under the default).
+    """
+    num_shards = jax.lax.axis_size(axis)
+    me = jax.lax.axis_index(axis)
+    local_rows = weight_local.shape[0]
+
+    flat = ids.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    if capacity is None:
+        capacity = n
+    owner = flat // local_rows
+
+    # Stable sort by owner; rank-within-owner = position - group start.
+    order = jnp.argsort(owner, stable=True)
+    sorted_owner = owner[order]
+    sorted_ids = flat[order]
+    positions = jnp.arange(n, dtype=jnp.int32)
+    group_start = jnp.searchsorted(sorted_owner, sorted_owner, side='left')
+    rank = positions - group_start.astype(jnp.int32)
+
+    fits = rank < capacity
+    overflow = jnp.sum(~fits).astype(jnp.int32)
+    # Overflowed entries get an out-of-bounds slot so the scatter drops
+    # them (an in-bounds sentinel would collide with a real request).
+    slot = jnp.where(fits, sorted_owner * capacity + rank,
+                     num_shards * capacity)
+
+    requests = jnp.full((num_shards * capacity,), -1, jnp.int32)
+    requests = requests.at[slot].set(sorted_ids, mode='drop')
+    requests = requests.reshape(num_shards, capacity)
+
+    # Exchange requests; serve from the local block; return payloads.
+    received = jax.lax.all_to_all(requests, axis, split_axis=0,
+                                  concat_axis=0)
+    owned = (received >= me * local_rows) & (received <
+                                             (me + 1) * local_rows)
+    local_idx = jnp.where(owned, received - me * local_rows, 0)
+    served = jnp.where(owned[..., None], weight_local[local_idx], 0.0)
+    returned = jax.lax.all_to_all(served, axis, split_axis=0,
+                                  concat_axis=0)
+
+    # Unscatter: sorted position i reads its bucket slot, then invert the
+    # sort permutation.
+    payload = returned.reshape(num_shards * capacity, -1)
+    sorted_vectors = jnp.where(
+        fits[:, None],
+        payload[slot],
+        jnp.zeros((), dtype=payload.dtype))
+    vectors = jnp.zeros_like(sorted_vectors).at[order].set(sorted_vectors)
+    return (vectors.reshape(ids.shape + (weight_local.shape[1],)),
+            overflow)
 
 
 def shard_params(params, specs, mesh):

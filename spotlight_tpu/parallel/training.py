@@ -91,11 +91,17 @@ def epoch_scan_distributed(params, opt_state, key, data, n_valid,
                                 batch_size)
     batch_keys = jax.random.split(negatives_key, num_batches)
 
-    batch_specs = {name: P('data') for name in batched}
+    # Capacity-factored exchange shards the batch over BOTH axes: each
+    # device computes the loss on its own batch sub-slice (no redundant
+    # per-model-shard recomputation) and its lookups exchange only
+    # per-owner buckets.
+    cf = exchange == 'alltoall_cf'
+    batch_axes = ('data', 'model') if cf else 'data'
+    batch_specs = {name: P(batch_axes) for name in batched}
     model_size = mesh.shape.get('model', 1)
 
     def _psum_grads_by_spec(grads):
-        """Per-parameter gradient reduction for the all-to-all mode."""
+        """Per-parameter gradient reduction for the all-to-all modes."""
         def reduce_one(grad, spec):
             sharded_over_model = any(
                 axis == 'model'
@@ -114,16 +120,22 @@ def epoch_scan_distributed(params, opt_state, key, data, n_valid,
         out_specs=(param_specs, opt_specs, P()),
         check_vma=(exchange == 'psum'))
     def sharded_step(params, opt_state, batch, batch_key):
-        # Distinct negative-sampling stream per data shard.
+        # Distinct negative-sampling stream per batch shard.
         shard_key = jax.random.fold_in(
             batch_key, jax.lax.axis_index('data'))
+        if cf:
+            shard_key = jax.random.fold_in(
+                shard_key, jax.lax.axis_index('model'))
 
         def local_loss(params):
             elems, mask = elems_fn(params, batch, shard_key)
             mask = mask.astype(elems.dtype)
-            global_count = jax.lax.psum(jnp.sum(mask), 'data')
+            global_count = jax.lax.psum(jnp.sum(mask), batch_axes)
             loss = jnp.sum(elems * mask) / jnp.maximum(global_count, 1.0)
             if exchange == 'alltoall':
+                # Every model shard recomputes the same loss; divide so
+                # each owner row's cotangent arrives model_size times but
+                # sums to the true gradient.
                 loss = loss / model_size
             return loss
 
@@ -132,6 +144,13 @@ def epoch_scan_distributed(params, opt_state, key, data, n_valid,
         if exchange == 'alltoall':
             grads = _psum_grads_by_spec(grads)
             loss = jax.lax.psum(local, 'data') * model_size
+        elif cf:
+            # Batch rows exist once globally: table-row cotangents arrive
+            # exactly once through the reversed exchange (within the model
+            # axis); only the data-axis replicas of each table shard — and
+            # both axes for replicated dense params — need reducing.
+            grads = _psum_grads_by_spec(grads)
+            loss = jax.lax.psum(local, ('data', 'model'))
         else:
             # With vma-aware shard_map (check_vma=True), params are marked
             # invariant over 'data'; jax.grad's transpose then inserts the

@@ -89,10 +89,16 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
             assert representation in ('pooling', 'cnn', 'lstm', 'mixture')
         del use_cuda  # API parity; devices come from jax
 
-        if mesh is not None and batch_size % mesh.shape['data']:
-            raise ValueError(
-                'batch_size ({}) must be divisible by the data mesh axis '
-                'size ({})'.format(batch_size, mesh.shape['data']))
+        if mesh is not None:
+            shards = mesh.shape['data']
+            if exchange == 'alltoall_cf':
+                # The capacity-factored exchange shards the batch over the
+                # model axis too.
+                shards *= mesh.shape['model']
+            if batch_size % shards:
+                raise ValueError(
+                    'batch_size ({}) must be divisible by the batch-shard '
+                    'count ({})'.format(batch_size, shards))
 
         self._loss = loss
         self._representation = representation
@@ -257,6 +263,9 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
                 self._params, self._opt_state, self._next_key(), data, n)
             drain.push(epoch_num, epoch_loss)
         drain.finish()
+        # Last epoch's loss, host-side (reference parity: the
+        # verbose print's value; handy for multi-process checks).
+        self._last_epoch_loss = drain.last_loss
 
         return self
 

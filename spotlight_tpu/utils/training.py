@@ -216,11 +216,13 @@ class EpochLossDrain:
     def __init__(self, verbose=False):
         self._verbose = verbose
         self._pending = None
+        self.last_loss = None
 
     def _drain(self):
         epoch_num, device_loss = self._pending
         self._pending = None
         epoch_loss = float(device_loss)
+        self.last_loss = epoch_loss
         if self._verbose:
             print('Epoch {}: loss {}'.format(epoch_num, epoch_loss))
         check_degenerate(epoch_loss)
