@@ -1,0 +1,127 @@
+"""Head-to-head vs the reference at MovieLens-1M scale: sequence models.
+
+The reference's flagship published results are the ML-1M sequence sweeps
+(`/root/reference/examples/movielens_sequence/readme.rst`).  The real
+download is unavailable here, so both stacks read the *identical*
+ML-1M-scale fixture file (`spotlight_tpu.data.fixtures`, installed through
+the shared dataset cache both loaders resolve), use the reference
+experiment's own split protocol (RandomState(100), user-based 80/10/10,
+``to_sequence(200, 20, 200)`` — `movielens_sequence.py:279-300`), and train
+the same configurations.  The script asserts the two pipelines produce
+byte-identical sequence matrices before training.
+
+spotlight_tpu runs on the default jax platform (TPU under the driver);
+the reference runs torch CPU.  Accuracy is platform-independent.
+
+Run:  python scripts/parity_ml1m_sequence.py
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+from spotlight_tpu.data import user_based_train_test_split  # noqa: E402
+from spotlight_tpu.data.fixtures import install_movielens_1m_fixture  # noqa
+from spotlight_tpu.data.movielens import get_movielens_dataset  # noqa
+from spotlight_tpu.evaluation import sequence_mrr_score  # noqa: E402
+from spotlight_tpu.sequence import (CNNNet, ImplicitSequenceModel)  # noqa
+
+sys.path.insert(0, '/root/reference')
+from spotlight.cross_validation import (  # noqa: E402
+    user_based_train_test_split as ref_split)
+from spotlight.datasets.movielens import (  # noqa: E402
+    get_movielens_dataset as ref_get_movielens)
+from spotlight.evaluation import sequence_mrr_score as ref_mrr  # noqa
+from spotlight.sequence.implicit import (  # noqa: E402
+    ImplicitSequenceModel as RefModel)
+from spotlight.sequence.representations import CNNNet as RefCNNNet  # noqa
+
+sys.path.pop(0)
+
+MAX_LEN, MIN_LEN, STEP = 200, 20, 200
+
+CONFIGS = [
+    # (name, representation kwargs, shared hyperparameters)
+    ('pooling/bpr', {'representation': 'pooling'},
+     dict(loss='bpr', embedding_dim=64, n_iter=10, batch_size=256,
+          learning_rate=0.01, l2=0.0)),
+    ('lstm/bpr', {'representation': 'lstm'},
+     dict(loss='bpr', embedding_dim=64, n_iter=10, batch_size=256,
+          learning_rate=0.01, l2=0.0)),
+    ('lstm/adaptive_hinge', {'representation': 'lstm'},
+     dict(loss='adaptive_hinge', embedding_dim=64, n_iter=10,
+          batch_size=256, learning_rate=0.01, l2=0.0)),
+    ('cnn/bpr', {'cnn': dict(kernel_width=5, num_layers=3,
+                             dilation=(1, 2, 4), nonlinearity='tanh',
+                             residual_connections=True)},
+     dict(loss='bpr', embedding_dim=64, n_iter=10, batch_size=256,
+          learning_rate=0.01, l2=0.0)),
+]
+
+
+def _split(dataset, split_fn, to_sequence):
+    random_state = np.random.RandomState(100)
+    train, rest = split_fn(dataset, random_state=random_state)
+    test, validation = split_fn(rest, test_percentage=0.5,
+                                random_state=random_state)
+    return (to_sequence(train), to_sequence(test), to_sequence(validation))
+
+
+def main():
+    install_movielens_1m_fixture()
+
+    def seq(x):
+        return x.to_sequence(max_sequence_length=MAX_LEN,
+                             min_sequence_length=MIN_LEN, step_size=STEP)
+
+    train, test, validation = _split(get_movielens_dataset('1M'),
+                                     user_based_train_test_split, seq)
+    rtrain, rtest, rvalidation = _split(ref_get_movielens('1M'),
+                                        ref_split, seq)
+
+    np.testing.assert_array_equal(train.sequences, rtrain.sequences)
+    np.testing.assert_array_equal(test.sequences, rtest.sequences)
+    print('pipelines identical: train {} test {}'.format(
+        train.sequences.shape, test.sequences.shape), flush=True)
+
+    for name, rep, params in CONFIGS:
+        t0 = time.time()
+        if 'cnn' in rep:
+            cnn = dict(rep['cnn'])
+            representation = CNNNet(train.num_items,
+                                    embedding_dim=params['embedding_dim'],
+                                    **cnn)
+        else:
+            representation = rep['representation']
+        model = ImplicitSequenceModel(
+            representation=representation,
+            random_state=np.random.RandomState(42), **params)
+        model.fit(train, verbose=False)
+        mine = sequence_mrr_score(model, test).mean()
+        mine_s = time.time() - t0
+
+        t0 = time.time()
+        if 'cnn' in rep:
+            ref_representation = RefCNNNet(
+                rtrain.num_items, embedding_dim=params['embedding_dim'],
+                **rep['cnn'])
+        else:
+            ref_representation = rep['representation']
+        rmodel = RefModel(representation=ref_representation, use_cuda=False,
+                          random_state=np.random.RandomState(42), **params)
+        rmodel.fit(rtrain, verbose=False)
+        theirs = ref_mrr(rmodel, rtest).mean()
+        theirs_s = time.time() - t0
+
+        print('{:22s} reference {:.4f} ({:5.0f}s)   spotlight_tpu '
+              '{:.4f} ({:5.0f}s)'.format(name, theirs, theirs_s,
+                                         mine, mine_s), flush=True)
+
+
+if __name__ == '__main__':
+    main()

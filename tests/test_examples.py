@@ -2,7 +2,6 @@
 (tiny sizes; the scripts themselves run the full configurations)."""
 
 import runpy
-import sys
 
 
 def _load(path):
