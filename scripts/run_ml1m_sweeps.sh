@@ -6,6 +6,7 @@ set -u
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 OUT="$REPO/examples/movielens_sequence/results/ml1m"
 N="${1:-40}"
+export PYTHONPATH="$REPO${PYTHONPATH:+:$PYTHONPATH}"
 mkdir -p "$OUT"
 cd "$OUT"
 for rep in lstm cnn pooling mixture; do
