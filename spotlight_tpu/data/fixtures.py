@@ -292,6 +292,163 @@ def install_movielens_1m_fixture(data_directory=None, seed=ML1M_SEED,
     return path
 
 
+AMAZON_NUM_USERS = 4000        # fixture scale (real set: ~1.6M users)
+AMAZON_NUM_ITEMS = 6000        # real set: ~550K products
+AMAZON_NUM_RATINGS = 80_000    # real set: ~8M ratings
+AMAZON_SEED = FIXTURE_SEED + 2
+
+GOODBOOKS_NUM_USERS = 1500     # real set: 53,424 users
+GOODBOOKS_NUM_BOOKS = 800      # real set: 10,000 books
+GOODBOOKS_NUM_RATINGS = 60_000  # real set: ~6M ratings
+GOODBOOKS_SEED = FIXTURE_SEED + 3
+
+
+def generate_amazon_like(seed=AMAZON_SEED):
+    """Generate Amazon-co-purchase-scale columns (miniature).
+
+    The real SNAP set (`/root/reference/spotlight/datasets/amazon.py:56`)
+    is *sparse*: most users and products have very few ratings, which is
+    exactly why ``get_amazon_dataset`` exposes min-count filters.  The
+    stand-in reproduces the properties those filters and the contiguous
+    remap depend on:
+
+    - **Non-contiguous, unsorted raw ids** drawn from a ~10x larger id
+      space (SNAP ids are arbitrary), so the searchsorted remap is
+      actually exercised.
+    - **Long-tail activity**: user counts ~ log-normal and item counts
+      ~ Zipf, calibrated so a meaningful fraction of each falls below the
+      default ``min_*_interactions=10`` cutoffs.
+    - The auxiliary ``features_*`` columns the real file carries (read and
+      discarded by the loader).
+
+    Returns
+    -------
+    dict with keys 'user_id', 'item_id', 'rating', 'timestamp',
+    'features_item_id', 'features_feature_id'
+    """
+    rs = np.random.RandomState(seed)
+
+    raw_user_ids = np.sort(rs.choice(
+        np.arange(1, AMAZON_NUM_USERS * 10, dtype=np.int32),
+        AMAZON_NUM_USERS, replace=False))
+    raw_item_ids = np.sort(rs.choice(
+        np.arange(1, AMAZON_NUM_ITEMS * 10, dtype=np.int32),
+        AMAZON_NUM_ITEMS, replace=False))
+
+    # Long-tail sampling weights; with 80K ratings over 4K users / 6K
+    # items these land ~25-35% of users and ~40-50% of items under 10
+    # interactions (the filters must have real work to do).
+    user_w = rs.lognormal(0.0, 1.2, AMAZON_NUM_USERS)
+    item_w = 1.0 / np.arange(1, AMAZON_NUM_ITEMS + 1) ** 1.05
+    rs.shuffle(item_w)
+
+    users = rs.choice(AMAZON_NUM_USERS, AMAZON_NUM_RATINGS,
+                      p=user_w / user_w.sum())
+    items = rs.choice(AMAZON_NUM_ITEMS, AMAZON_NUM_RATINGS,
+                      p=item_w / item_w.sum())
+
+    ratings = np.clip(np.rint(rs.normal(4.2, 1.0, AMAZON_NUM_RATINGS)),
+                      1, 5).astype(np.float32)
+    timestamps = np.sort(
+        rs.randint(1_000_000_000, 1_100_000_000,
+                   AMAZON_NUM_RATINGS)).astype(np.int64)
+
+    n_features = 5000
+    return {
+        'user_id': raw_user_ids[users],
+        'item_id': raw_item_ids[items],
+        'rating': ratings,
+        'timestamp': timestamps,
+        'features_item_id': rs.choice(raw_item_ids,
+                                      n_features).astype(np.int32),
+        'features_feature_id': rs.randint(
+            0, 1000, n_features).astype(np.int32),
+    }
+
+
+def install_amazon_fixture(data_directory=None, seed=AMAZON_SEED):
+    """Write the fixture as the cached Amazon co-purchasing HDF5 file.
+
+    Resolves the exact cache path ``get_amazon_dataset`` reads
+    (`spotlight_tpu/data/amazon.py:22-24`: ``<cache>/amazon/
+    amazon_co_purchasing.hdf5``) so the loader's full transport + HDF5 +
+    filter + remap path executes.  Existing cache files are never
+    overwritten.
+    """
+    import h5py
+
+    from spotlight_tpu.data import transport
+
+    directory = os.path.join(
+        os.path.abspath(data_directory or transport.data_dir()), 'amazon')
+    transport.create_data_dir(directory)
+    path = os.path.join(directory, 'amazon_co_purchasing.hdf5')
+    if os.path.isfile(path):
+        return path
+
+    columns = generate_amazon_like(seed)
+    tmp_path = path + '.tmp'
+    with h5py.File(tmp_path, 'w') as f:
+        for name, values in columns.items():
+            f['/' + name] = values
+        f.attrs['synthetic_fixture'] = True
+        f.attrs['generator_seed'] = seed
+    os.replace(tmp_path, path)
+    return path
+
+
+def generate_goodbooks_like(seed=GOODBOOKS_SEED):
+    """Generate a goodbooks-10k-scale ratings matrix (miniature).
+
+    The real file (`/root/reference/spotlight/datasets/goodbooks.py:20-28`)
+    stores one ``(n, 3)`` integer matrix of (user_id, book_id, rating)
+    rows with ids starting at 1 and no timestamps.  Ratings skew positive
+    (goodreads 5-star reviews).
+    """
+    rs = np.random.RandomState(seed)
+
+    user_w = rs.lognormal(0.0, 0.8, GOODBOOKS_NUM_USERS)
+    book_w = 1.0 / np.arange(1, GOODBOOKS_NUM_BOOKS + 1) ** 0.9
+    rs.shuffle(book_w)
+
+    users = rs.choice(GOODBOOKS_NUM_USERS, GOODBOOKS_NUM_RATINGS,
+                      p=user_w / user_w.sum()) + 1
+    books = rs.choice(GOODBOOKS_NUM_BOOKS, GOODBOOKS_NUM_RATINGS,
+                      p=book_w / book_w.sum()) + 1
+    ratings = np.clip(np.rint(rs.normal(3.9, 1.0, GOODBOOKS_NUM_RATINGS)),
+                      1, 5)
+
+    return np.stack([users, books, ratings], axis=1).astype(np.int32)
+
+
+def install_goodbooks_fixture(data_directory=None, seed=GOODBOOKS_SEED):
+    """Write the fixture as the cached goodbooks-10k HDF5 file.
+
+    Cache path per ``get_goodbooks_dataset``
+    (`spotlight_tpu/data/goodbooks.py:27-28`: ``<cache>/goodbooks/
+    goodbooks.hdf5``).  Existing cache files are never overwritten.
+    """
+    import h5py
+
+    from spotlight_tpu.data import transport
+
+    directory = os.path.join(
+        os.path.abspath(data_directory or transport.data_dir()),
+        'goodbooks')
+    transport.create_data_dir(directory)
+    path = os.path.join(directory, 'goodbooks.hdf5')
+    if os.path.isfile(path):
+        return path
+
+    tmp_path = path + '.tmp'
+    with h5py.File(tmp_path, 'w') as f:
+        f['ratings'] = generate_goodbooks_like(seed)
+        f.attrs['synthetic_fixture'] = True
+        f.attrs['generator_seed'] = seed
+    os.replace(tmp_path, path)
+    return path
+
+
 def is_synthetic_fixture(path):
     """True when ``path`` is a fixture written by this module."""
     import h5py
