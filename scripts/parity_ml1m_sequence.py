@@ -61,6 +61,17 @@ CONFIGS = [
                              residual_connections=True)},
      dict(loss='bpr', embedding_dim=64, n_iter=10, batch_size=256,
           learning_rate=0.01, l2=0.0)),
+    # The reference's published best CNN hyperparameters on real ML-1M
+    # (examples/movielens_sequence/results/cnn_results.txt, test MRR
+    # 0.0795): both stacks at this config on the fixture shows whether
+    # the fixture's CNN ceiling is a data property, not an
+    # implementation gap.
+    ('cnn/published-best', {'cnn': dict(kernel_width=3, num_layers=3,
+                                        dilation=(1, 2, 4),
+                                        nonlinearity='relu',
+                                        residual_connections=True)},
+     dict(loss='adaptive_hinge', embedding_dim=256, n_iter=9,
+          batch_size=32, learning_rate=0.001, l2=0.0)),
 ]
 
 
@@ -73,6 +84,10 @@ def _split(dataset, split_fn, to_sequence):
 
 
 def main():
+    only = None
+    if '--only' in sys.argv:
+        only = sys.argv[sys.argv.index('--only') + 1]
+
     install_movielens_1m_fixture()
 
     def seq(x):
@@ -90,6 +105,8 @@ def main():
         train.sequences.shape, test.sequences.shape), flush=True)
 
     for name, rep, params in CONFIGS:
+        if only is not None and name != only:
+            continue
         t0 = time.time()
         if 'cnn' in rep:
             cnn = dict(rep['cnn'])

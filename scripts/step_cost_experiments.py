@@ -433,6 +433,112 @@ def sort_probe():
         timed('argsort+segments n={}'.format(n), f, ids)
 
 
+def scatter_probe():
+    """Upper bound on batch-id-dedup savings (ROADMAP item 2): dense
+    scatter-add cost at duplicate-heavy random ids (2B draws from NI:
+    ~32% duplicates) vs fully-unique random ids of the same count."""
+    rs = np.random.RandomState(0)
+    dup_ids = jnp.asarray(rs.randint(0, NI, (STEPS, 2 * BS)), jnp.int32)
+    uniq_ids = jnp.asarray(
+        np.stack([rs.permutation(NI)[:2 * BS] for _ in range(STEPS)]),
+        jnp.int32)
+    g = jnp.ones((2 * BS, D + 1))
+
+    @jax.jit
+    def f(ids):
+        def step(c, b):
+            return c + jnp.zeros((NI, D + 1)).at[b].add(g)[0, 0], None
+        out, _ = jax.lax.scan(step, jnp.float32(0), ids)
+        return out
+
+    dup = np.mean([len(np.unique(np.asarray(r))) for r in dup_ids[:4]])
+    print('mean unique rows per dup batch: {:.0f} / {}'.format(
+        dup, 2 * BS), flush=True)
+    timed('scatter-add 16K ids, ~32% dups', f, dup_ids)
+    timed('scatter-add 16K ids, unique', f, uniq_ids)
+
+
+def make_dedup_epoch():
+    """Production fused-bias formulation, but the item gradient is
+    deduplicated (argsort + segment-sum) before the dense scatter-add, so
+    each touched row is written once.  Dense Adam unchanged — this
+    isolates ROADMAP item 2 (batch-level id dedup) from the lazy-Adam
+    variants."""
+    key0 = jax.random.PRNGKey(0)
+    width = D + 1
+
+    def table(n):
+        return (jax.random.normal(key0, (n, width)) / D).at[:, D].set(0.0)
+
+    params = {'U': table(NU), 'I': table(NI)}
+    tx = optax.adam(LR)
+    opt_state = tx.init(params)
+
+    def score_rows(u_rows, i_rows):
+        return ((u_rows[None, :, :D] * i_rows[..., :D]).sum(-1)
+                + u_rows[None, :, D] + i_rows[..., D])
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def epoch(p, opt_state, key, users, items):
+        keys = jax.random.split(key, STEPS)
+
+        def step(carry, xs):
+            p, opt_state = carry
+            bu, bi, k = xs
+            neg = jax.random.randint(k, bu.shape, 0, NI, dtype=jnp.int32)
+            all_items = jnp.concatenate([bi, neg])
+            u_rows = p['U'][bu]
+            i_rows = p['I'][all_items]
+
+            def loss_fn(u_rows, i_rows):
+                s = score_rows(u_rows, i_rows.reshape(2, BS, -1))
+                return _bpr(s[0], s[1])
+
+            loss, (gu, gi) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(u_rows, i_rows)
+
+            n = all_items.shape[0]
+            order = jnp.argsort(all_items)
+            sid = all_items[order]
+            sg = gi[order]
+            head = jnp.concatenate(
+                [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+            seg = jnp.cumsum(head) - 1
+            summed = jax.ops.segment_sum(sg, seg, num_segments=n)
+            rep = jnp.full((n,), NI, jnp.int32).at[seg].set(sid)
+            gI = jnp.zeros((NI + 1, width)).at[rep].add(summed)[:NI]
+            gU = jnp.zeros_like(p['U']).at[bu].add(gu)
+
+            updates, opt_state = tx.update({'U': gU, 'I': gI},
+                                           opt_state, p)
+            p = optax.apply_updates(p, updates)
+            return (p, opt_state), loss
+
+        (p, opt_state), losses = jax.lax.scan(
+            step, (p, opt_state), (users, items, keys))
+        return p, opt_state, losses.mean()
+
+    return epoch, params, opt_state
+
+
+def run_dedup_variant(label, epochs=10):
+    epoch, params, opt_state = make_dedup_epoch()
+    users, items = make_data()
+    p = jax.tree_util.tree_map(jnp.copy, params)
+    s = jax.tree_util.tree_map(jnp.copy, opt_state)
+    p, s, loss = epoch(p, s, jax.random.PRNGKey(1), users, items)
+    float(loss)
+    start = time.perf_counter()
+    for e in range(epochs):
+        p, s, loss = epoch(p, s, jax.random.PRNGKey(2 + e), users, items)
+    float(loss)
+    dt = time.perf_counter() - start
+    print('{:34s} {:7.1f} ms/epoch ({:6.3f} ms/step, {:5.2f}M ex/s) '
+          'final loss {:.4f}'.format(
+              label, dt / epochs * 1e3, dt / epochs / STEPS * 1e3,
+              epochs * N / dt / 1e6, float(loss)), flush=True)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else 'all'
     print('backend:', jax.default_backend(), flush=True)
@@ -465,6 +571,10 @@ def main():
         run_lazy_variant('lazy adam (dense grad buffer)', 'dense')
     if which in ('lazyfused', 'all'):
         run_lazy_variant('lazy adam (sort, fused bias)', 'sortb')
+    if which in ('scatterprobe', 'all'):
+        scatter_probe()
+    if which in ('dedup', 'all'):
+        run_dedup_variant('fused bias + item-grad dedup')
 
 
 if __name__ == '__main__':
