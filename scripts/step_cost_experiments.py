@@ -170,8 +170,18 @@ def make_prod_epoch(bias='separate', mode=''):
     else:
         raise ValueError(bias)
 
-    tx = optax.sgd(LR) if 'sgd' in mode else optax.adam(LR)
-    opt_state = tx.init(params)
+    if 'handadam' in mode:
+        # Hand-rolled Adam carried as explicit (mu, nu, t): one fused
+        # elementwise pass per table, no intermediate `updates` tree.
+        opt_state = {
+            'mu': jax.tree_util.tree_map(jnp.zeros_like, params),
+            'nu': jax.tree_util.tree_map(jnp.zeros_like, params),
+            't': jnp.zeros((), jnp.int32),
+        }
+        tx = None
+    else:
+        tx = optax.sgd(LR) if 'sgd' in mode else optax.adam(LR)
+        opt_state = tx.init(params)
 
     def batch_loss(p, bu, bi, key):
         neg = jax.random.randint(key, bu.shape, 0, NI, dtype=jnp.int32)
@@ -195,6 +205,26 @@ def make_prod_epoch(bias='separate', mode=''):
             if 'nopt' in mode:
                 p = jax.tree_util.tree_map(
                     lambda a, g: a - 1e-6 * g, p, grads)
+            elif 'handadam' in mode:
+                t = opt_state['t'] + 1
+                c1 = 1.0 - 0.9 ** t.astype(jnp.float32)
+                c2 = 1.0 - 0.999 ** t.astype(jnp.float32)
+
+                def upd(param, m, v, g):
+                    m = 0.9 * m + 0.1 * g
+                    v = 0.999 * v + 0.001 * g * g
+                    param = param - LR * (m / c1) / (jnp.sqrt(v / c2)
+                                                     + 1e-8)
+                    return param, m, v
+
+                out = jax.tree_util.tree_map(
+                    upd, p, opt_state['mu'], opt_state['nu'], grads)
+                p = {k2: o[0] for k2, o in out.items()}
+                opt_state = {
+                    'mu': {k2: o[1] for k2, o in out.items()},
+                    'nu': {k2: o[2] for k2, o in out.items()},
+                    't': t,
+                }
             else:
                 updates, opt_state = tx.update(grads, opt_state, p)
                 p = optax.apply_updates(p, updates)
@@ -571,6 +601,11 @@ def main():
         run_lazy_variant('lazy adam (dense grad buffer)', 'dense')
     if which in ('lazyfused', 'all'):
         run_lazy_variant('lazy adam (sort, fused bias)', 'sortb')
+    if which in ('handadam',):
+        run_epoch_variant('fused bias + hand-rolled adam', 'fused',
+                          mode='handadam')
+    if which in ('fusedbias2',):
+        run_epoch_variant('fused bias column (rerun)', 'fused')
     if which in ('scatterprobe', 'all'):
         scatter_probe()
     if which in ('dedup', 'all'):
