@@ -31,7 +31,17 @@ Layout departures from the reference, for TPU:
   matmul (MXU-friendly), leaving only the ``h @ W_hh`` recurrence inside
   ``lax.scan``;
 - convolutions use ``lax.conv_general_dilated`` with explicit causal left
-  padding.
+  padding;
+- with the default dense embeddings, the item bias lives in column ``D`` of
+  **one fused** ``(num_items, D + 1)`` table
+  (:class:`~spotlight_tpu.ops.embeddings.FusedBiasEmbedding`) instead of the
+  reference's separate factor + 1-wide bias tables.  Sequence training is
+  bound by random HBM row touches, and a 1-wide bias row costs the same
+  touch as a 65-wide factor row; fusing them removes the positive- and
+  negative-target bias gathers (and their backward scatter-adds) from every
+  step.  Semantics are identical (Adam/L2/gradients are elementwise).  When
+  a custom ``item_embedding_layer``/``item_bias_layer`` is injected (e.g. a
+  bloom-compressed table), the classic two-table layout is used instead.
 
 Parameter initializations match torch's defaults so learning dynamics are
 comparable: LSTM weights/biases ~ U(-1/sqrt(H), 1/sqrt(H)); conv weights and
@@ -46,7 +56,8 @@ from typing import Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 
-from spotlight_tpu.ops.embeddings import ScaledEmbedding, ZeroEmbedding
+from spotlight_tpu.ops.embeddings import (FusedBiasEmbedding, ScaledEmbedding,
+                                          ZeroEmbedding)
 
 PADDING_IDX = 0
 
@@ -64,6 +75,24 @@ def _uniform(key, shape, bound):
 class _ItemRepresentationBase:
     """Common item embedding/bias plumbing shared by all representations."""
 
+    @property
+    def _fused(self):
+        """Use the fused factor+bias table layout?  Forced by the ``fused``
+        field when set; otherwise fused exactly when no custom layers are
+        injected (see module docstring)."""
+        fused = getattr(self, 'fused', None)
+        if fused is not None:
+            return fused
+        return (self.item_embedding_layer is None
+                and getattr(self, 'item_bias_layer', None) is None)
+
+    def _fused_layer(self):
+        """The fused ``(num_items, D + 1)`` item layer.  After
+        :meth:`sharded`, the (wrapped) fused layer lives in
+        ``item_embedding_layer``; before that it is constructed fresh."""
+        return self.item_embedding_layer or FusedBiasEmbedding(
+            self.num_items, self.embedding_dim, padding_idx=PADDING_IDX)
+
     def _item_layers(self):
         item_embeddings = self.item_embedding_layer or ScaledEmbedding(
             self.num_items, self.embedding_dim, padding_idx=PADDING_IDX)
@@ -77,6 +106,14 @@ class _ItemRepresentationBase:
         replicated.  Bloom-compressed layers stay replicated too."""
         from spotlight_tpu.parallel.sharding import ShardedEmbedding
 
+        if self._fused:
+            return dataclasses.replace(
+                self,
+                fused=True,
+                item_embedding_layer=ShardedEmbedding(
+                    self._fused_layer(), axis=axis, num_shards=num_shards,
+                    exchange=exchange))
+
         def wrap(layer):
             if not isinstance(layer, (ScaledEmbedding, ZeroEmbedding)):
                 return layer
@@ -86,6 +123,7 @@ class _ItemRepresentationBase:
         item_emb, item_bias = self._item_layers()
         return dataclasses.replace(
             self,
+            fused=False,
             item_embedding_layer=wrap(item_emb),
             item_bias_layer=wrap(item_bias))
 
@@ -96,6 +134,11 @@ class _ItemRepresentationBase:
 
         shapes = jax.eval_shape(self.init, jax.random.PRNGKey(0))
         specs = jax.tree_util.tree_map(lambda _: P(), shapes)
+        if self._fused:
+            layer = self._fused_layer()
+            if hasattr(layer, 'spec'):
+                specs['item_embeddings'] = layer.spec()
+            return specs
         item_emb, item_bias = self._item_layers()
         if hasattr(item_emb, 'spec'):
             specs['item_embeddings'] = item_emb.spec()
@@ -104,16 +147,45 @@ class _ItemRepresentationBase:
         return specs
 
     def _init_item_params(self, key):
-        item_emb, item_bias = self._item_layers()
+        # The factor draw uses the same key in both layouts, so fused and
+        # classic initializations share identical factor values.
         k_emb, k_bias = jax.random.split(key)
+        if self._fused:
+            return {'item_embeddings': self._fused_layer().init(
+                k_emb, dtype=getattr(self, 'table_dtype', jnp.float32))}
+        item_emb, item_bias = self._item_layers()
         return {
             'item_embeddings': item_emb.init(k_emb),
             'item_biases': item_bias.init(k_bias),
         }
 
+    def _fused_rows(self, params, ids):
+        """Gather fused (factors ++ bias) rows in float32 (the sharded
+        wrapper returns the table dtype unchanged)."""
+        rows = self._fused_layer().apply(params['item_embeddings'], ids)
+        return rows.astype(jnp.float32)
+
     def _embed(self, params, sequences):
+        if self._fused:
+            return self._fused_rows(params,
+                                    sequences)[..., :self.embedding_dim]
         item_emb, _ = self._item_layers()
         return item_emb.apply(params['item_embeddings'], sequences)
+
+    def _target_rows(self, params, targets):
+        """(vectors, bias) for target item ids: one fused-row gather, or a
+        factor gather + bias gather in the classic layout.  In the fused
+        layout a positive-target gather is the *same expression* as the
+        input-embedding gather of the identical ids, so XLA CSE folds the
+        two into one."""
+        if self._fused:
+            rows = self._fused_rows(params, targets)
+            return (rows[..., :self.embedding_dim],
+                    rows[..., self.embedding_dim])
+        item_emb, item_bias = self._item_layers()
+        vectors = item_emb.apply(params['item_embeddings'], targets)
+        bias = item_bias.apply(params['item_biases'], targets)[..., 0]
+        return vectors, bias
 
     def _shifted_embeddings(self, params, sequences):
         """Embed and left-pad by one zero step: output step t sees items
@@ -134,20 +206,15 @@ class _ItemRepresentationBase:
         -------
         (B, T) float scores
         """
-        item_emb, item_bias = self._item_layers()
-        target_embedding = item_emb.apply(params['item_embeddings'], targets)
-        target_bias = item_bias.apply(params['item_biases'], targets)[..., 0]
+        target_embedding, target_bias = self._target_rows(params, targets)
         dot = jnp.sum(user_representations * target_embedding, axis=-1)
         return dot + target_bias
 
     def _catalog_matrix(self, params):
         """Densified (num_items, dim) item matrix and (num_items,) bias —
-        works for plain, bloom-compressed, and row-sharded item layers."""
-        item_emb, item_bias = self._item_layers()
+        works for plain, fused, bloom-compressed, and row-sharded layers."""
         all_items = jnp.arange(self.num_items, dtype=jnp.int32)
-        weight = item_emb.apply(params['item_embeddings'], all_items)
-        bias = item_bias.apply(params['item_biases'], all_items)[..., 0]
-        return weight, bias
+        return self._target_rows(params, all_items)
 
     def score_catalog(self, params, final_representations):
         """Score final representations against the whole catalog.
@@ -182,6 +249,8 @@ class PoolNet(_ItemRepresentationBase):
     item_embedding_layer: Optional[object] = None
     sparse: bool = False
     item_bias_layer: Optional[object] = None
+    fused: Optional[bool] = None
+    table_dtype: object = jnp.float32
 
     def init(self, key):
         return self._init_item_params(key)
@@ -209,6 +278,8 @@ class LSTMNet(_ItemRepresentationBase):
     item_embedding_layer: Optional[object] = None
     sparse: bool = False
     item_bias_layer: Optional[object] = None
+    fused: Optional[bool] = None
+    table_dtype: object = jnp.float32
 
     def init(self, key):
         item_key, *keys = jax.random.split(key, 5)
@@ -289,6 +360,8 @@ class CNNNet(_ItemRepresentationBase):
     benchmark: bool = True  # API parity no-op (cudnn flag in the reference)
     item_embedding_layer: Optional[object] = None
     item_bias_layer: Optional[object] = None
+    fused: Optional[bool] = None
+    table_dtype: object = jnp.float32
 
     def __post_init__(self):
         if self.nonlinearity not in ('tanh', 'relu'):
@@ -382,6 +455,8 @@ class MixtureLSTMNet(_ItemRepresentationBase):
     item_embedding_layer: Optional[object] = None
     sparse: bool = False
     item_bias_layer: Optional[object] = None
+    fused: Optional[bool] = None
+    table_dtype: object = jnp.float32
 
     def init(self, key):
         item_key, *keys = jax.random.split(key, 7)
@@ -419,10 +494,8 @@ class MixtureLSTMNet(_ItemRepresentationBase):
         components = user_representations[..., :m, :]       # (B, T, M, D)
         mixture_vectors = user_representations[..., m:, :]  # (B, T, M, D)
 
-        item_emb, item_bias = self._item_layers()
-        target_embedding = item_emb.apply(
-            params['item_embeddings'], targets)  # (B, T, D)
-        target_bias = item_bias.apply(params['item_biases'], targets)[..., 0]
+        target_embedding, target_bias = self._target_rows(
+            params, targets)                                # (B, T, D)
 
         attention = jnp.einsum('btmd,btd->btm', mixture_vectors,
                                target_embedding,

@@ -77,7 +77,8 @@ def test_poolnet_hand_computed():
     by (running nonzero count + 1), shifted causally."""
     net = PoolNet(num_items=5, embedding_dim=4)
     params = net.init(jax.random.PRNGKey(0))
-    weight = np.asarray(params['item_embeddings']['weight'])
+    # Fused layout: columns [:D] are the factors, column D the bias.
+    weight = np.asarray(params['item_embeddings']['weight'])[:, :4]
 
     seq = jnp.asarray([[2, 3]], dtype=jnp.int32)
     per_step, final = net.user_representation(params, seq)
@@ -136,3 +137,71 @@ def test_score_matches_catalog_column():
         np.testing.assert_allclose(float(pointwise[0, -1]),
                                    float(catalog[0, 7]),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('net', REPRESENTATIONS,
+                         ids=lambda n: type(n).__name__ + str(
+                             getattr(n, 'num_layers', '')))
+def test_fused_layout_matches_classic(net):
+    """The fused factor+bias table layout (TPU row-touch optimization) is
+    numerically equivalent to the reference-style separate-table layout:
+    same factor initialization (shared key), same forward scores, same
+    catalog matrix, and the same gradients reach the factor/bias entries."""
+    import dataclasses
+
+    fused_net = dataclasses.replace(net, fused=True)
+    classic_net = dataclasses.replace(net, fused=False)
+
+    key = jax.random.PRNGKey(3)
+    fused_params = fused_net.init(key)
+    classic_params = classic_net.init(key)
+
+    dim = net.embedding_dim
+    fused_w = np.asarray(fused_params['item_embeddings']['weight'])
+    np.testing.assert_array_equal(
+        fused_w[:, :dim],
+        np.asarray(classic_params['item_embeddings']['weight']))
+    np.testing.assert_array_equal(
+        fused_w[:, dim:],
+        np.asarray(classic_params['item_biases']['weight']))
+
+    rs = np.random.RandomState(7)
+    seq = jnp.asarray(rs.randint(1, 20, (4, 6)), dtype=jnp.int32)
+    targets = jnp.asarray(rs.randint(1, 20, (4, 6)), dtype=jnp.int32)
+
+    # Give the bias column nonzero values so it participates in scores.
+    bias = rs.randn(20).astype(np.float32)
+    bias[0] = 0.0
+    fused_params['item_embeddings']['weight'] = (
+        fused_params['item_embeddings']['weight'].at[:, dim].set(bias))
+    classic_params['item_biases']['weight'] = jnp.asarray(bias[:, None])
+
+    def fused_scores(params):
+        reprs, final = fused_net.user_representation(params, seq)
+        return (fused_net.score(params, reprs, targets),
+                fused_net.score_catalog(params, final))
+
+    def classic_scores(params):
+        reprs, final = classic_net.user_representation(params, seq)
+        return (classic_net.score(params, reprs, targets),
+                classic_net.score_catalog(params, final))
+
+    f_step, f_cat = fused_scores(fused_params)
+    c_step, c_cat = classic_scores(classic_params)
+    np.testing.assert_allclose(np.asarray(f_step), np.asarray(c_step),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(f_cat), np.asarray(c_cat),
+                               rtol=1e-6, atol=1e-6)
+
+    # Gradient equivalence on the item table entries.
+    f_grads = jax.grad(lambda p: fused_scores(p)[0].sum())(fused_params)
+    c_grads = jax.grad(lambda p: classic_scores(p)[0].sum())(classic_params)
+    f_gw = np.asarray(f_grads['item_embeddings']['weight'])
+    np.testing.assert_allclose(
+        f_gw[:, :dim],
+        np.asarray(c_grads['item_embeddings']['weight']),
+        rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        f_gw[:, dim],
+        np.asarray(c_grads['item_biases']['weight'])[:, 0],
+        rtol=1e-6, atol=1e-6)
