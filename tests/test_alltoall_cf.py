@@ -178,3 +178,24 @@ def test_cf_batch_divisibility_check():
     with pytest.raises(ValueError, match='batch-shard count'):
         ImplicitFactorizationModel(batch_size=12, mesh=mesh,
                                    exchange='alltoall_cf')
+
+
+def test_cf_sequence_smoke():
+    """Sequence path (fused item table, per-shard negative streams,
+    batch sharded over both mesh axes) trains and evaluates under the
+    capacity-factored exchange."""
+    from spotlight_tpu.data.interactions import SequenceInteractions
+    from spotlight_tpu.evaluation import sequence_mrr_score
+    from spotlight_tpu.sequence import ImplicitSequenceModel
+
+    mesh = make_mesh(data=2, model=4)
+    rs = np.random.RandomState(5)
+    sequences = rs.randint(1, 90, size=(256, 8)).astype(np.int32)
+    data = SequenceInteractions(sequences, num_items=90)
+    model = ImplicitSequenceModel(
+        loss='bpr', representation='lstm', embedding_dim=16, n_iter=2,
+        batch_size=64, mesh=mesh, exchange='alltoall_cf',
+        random_state=np.random.RandomState(42))
+    model.fit(data)
+    assert np.isfinite(model._last_epoch_loss)
+    assert np.isfinite(sequence_mrr_score(model, data).mean())
