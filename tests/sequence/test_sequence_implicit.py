@@ -198,3 +198,22 @@ def test_predict_rejects_multirow_batch():
 
     with pytest.raises(ValueError, match='single sequence'):
         model.predict(train.sequences[:2])
+
+
+def test_bf16_tables_lstm_gate():
+    """bfloat16 item-table storage (scores compute in f32) must clear the
+    same learnability gate as the f32 table — mirrors the factorization
+    bf16 gate (`tests/test_ml100k_gates.py::test_bf16_tables_bpr_gate`)."""
+    import jax.numpy as jnp
+
+    train, test = _get_synthetic_data(randomness=1e-3)
+    model = ImplicitSequenceModel(
+        loss=LOSS,
+        representation=LSTMNet(train.num_items,
+                               embedding_dim=EMBEDDING_DIM,
+                               table_dtype=jnp.bfloat16),
+        batch_size=BATCH_SIZE, learning_rate=1e-2, l2=1e-7,
+        n_iter=NUM_EPOCHS * 5,
+        random_state=np.random.RandomState(RANDOM_SEED))
+    model.fit(train)
+    assert sequence_mrr_score(model, test).mean() > 0.61
