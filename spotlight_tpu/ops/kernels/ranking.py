@@ -39,8 +39,51 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _dot_scores(items, users_t):
+    """Default per-tile scoring: one (TILE, D) @ (D, B) MXU matmul."""
+    return jnp.dot(items, users_t, preferred_element_type=jnp.float32)
+
+
+def make_mixture_score_fn(num_mixtures, dim):
+    """Per-tile scoring for mixture-of-tastes representations.
+
+    The user-side operand stacks each user's taste and attention vectors
+    into one ``(2 * num_mixtures * dim, B)`` matrix (tastes first).  Per
+    item tile: M taste matmuls, M attention matmuls, a softmax over the M
+    attention scores, and the softmax-weighted taste mixture — the
+    streaming form of ``MixtureLSTMNet.score_catalog``
+    (`spotlight_tpu/sequence/representations.py`).  M is static, so the
+    mixture loop unrolls to straight-line MXU/VPU code.
+    """
+    def score(items, users_t):
+        tastes, attns = [], []
+        for m in range(num_mixtures):
+            lo = m * dim
+            taste = jnp.dot(items, users_t[lo:lo + dim, :],
+                            preferred_element_type=jnp.float32)
+            lo = (num_mixtures + m) * dim
+            attn = jnp.dot(items, users_t[lo:lo + dim, :],
+                           preferred_element_type=jnp.float32)
+            tastes.append(taste)
+            attns.append(attn)
+        amax = attns[0]
+        for attn in attns[1:]:
+            amax = jnp.maximum(amax, attn)
+        weights = [jnp.exp(attn - amax) for attn in attns]
+        denom = weights[0]
+        for weight in weights[1:]:
+            denom = denom + weight
+        out = weights[0] * tastes[0]
+        for weight, taste in zip(weights[1:], tastes[1:]):
+            out = out + weight * taste
+        return out / denom
+
+    return score
+
+
 def _rank_count_kernel(users_t_ref, tscore_ref, tid_ref, items_ref, bias_ref,
-                       greater_ref, equal_ref, *, valid_items, tile_items):
+                       greater_ref, equal_ref, *, valid_items, tile_items,
+                       score_fn):
     """One grid step: score a tile of items against all users, accumulate
     per-target comparison counts.
 
@@ -49,7 +92,9 @@ def _rank_count_kernel(users_t_ref, tscore_ref, tid_ref, items_ref, bias_ref,
     separately-computed target score and the tile matmul's value.
 
     Refs (item-major layout):
-        users_t_ref : (D, B)      VMEM, resident across steps
+        users_t_ref : (K, B)      VMEM, resident across steps (K = the
+                                  scoring function's user-feature rows;
+                                  D for dot-product scoring)
         tscore_ref  : (T, B)      VMEM, target scores
         tid_ref     : (T, B)      VMEM, target item ids (int32)
         items_ref   : (TILE, D)   VMEM, this step's item tile
@@ -64,9 +109,8 @@ def _rank_count_kernel(users_t_ref, tscore_ref, tid_ref, items_ref, bias_ref,
         greater_ref[:] = jnp.zeros_like(greater_ref)
         equal_ref[:] = jnp.zeros_like(equal_ref)
 
-    # (TILE, B) scores on the MXU.
-    scores = jnp.dot(items_ref[:], users_t_ref[:],
-                     preferred_element_type=jnp.float32)
+    # (TILE, B) scores (MXU matmul(s); mixture adds a VPU softmax).
+    scores = score_fn(items_ref[:], users_t_ref[:])
     scores = scores + bias_ref[:]  # (TILE, 1) broadcasts over users
 
     # Global item id of each score row; rows past the catalog end (padding
@@ -103,12 +147,15 @@ def _rank_count_kernel(users_t_ref, tscore_ref, tid_ref, items_ref, bias_ref,
 
 
 def rank_counts(user_reprs, item_matrix, item_bias, target_scores,
-                target_ids, tile_items=512, interpret=False):
+                target_ids, tile_items=512, interpret=False, score_fn=None):
     """Streaming comparison counts of target scores against the catalog.
 
     Parameters
     ----------
-    user_reprs : (B, D) float32
+    user_reprs : (B, K) float32
+        Per-user scoring operand: the user vectors (K = D) for the default
+        dot-product scoring, or whatever ``score_fn`` consumes (e.g. the
+        stacked taste+attention vectors, K = 2*M*D, for mixture scoring).
     item_matrix : (N, D) float32
     item_bias : (N,) float32
     target_scores : (B, T) float32
@@ -117,6 +164,9 @@ def rank_counts(user_reprs, item_matrix, item_bias, target_scores,
         The targets' item ids (excluded from their own counts).
     tile_items : int
         Item rows staged per VMEM tile.
+    score_fn : callable ((TILE, D), (K, B)) -> (TILE, B), optional
+        Per-tile scoring function (default: MXU dot product).  Must be a
+        stable (cached) callable — it keys the jit cache.
 
     Returns
     -------
@@ -144,15 +194,18 @@ def rank_counts(user_reprs, item_matrix, item_bias, target_scores,
             axis=1)
     greater, equal = _rank_counts_call(
         user_reprs, item_matrix, item_bias, target_scores, target_ids,
-        tile_items=tile_items, interpret=interpret)
+        tile_items=tile_items, interpret=interpret,
+        score_fn=score_fn or _dot_scores)
     return greater[:, :orig_targets], equal[:, :orig_targets]
 
 
-@functools.partial(jax.jit, static_argnames=('tile_items', 'interpret'))
+@functools.partial(jax.jit,
+                   static_argnames=('tile_items', 'interpret', 'score_fn'))
 def _rank_counts_call(user_reprs, item_matrix, item_bias, target_scores,
-                      target_ids, tile_items=512, interpret=False):
-    batch, dim = user_reprs.shape
-    num_items = item_matrix.shape[0]
+                      target_ids, tile_items=512, interpret=False,
+                      score_fn=_dot_scores):
+    batch, user_rows = user_reprs.shape
+    num_items, dim = item_matrix.shape
     num_targets = target_scores.shape[1]
 
     padded_items = pl.cdiv(num_items, tile_items) * tile_items
@@ -166,13 +219,14 @@ def _rank_counts_call(user_reprs, item_matrix, item_bias, target_scores,
     grid = (padded_items // tile_items,)
     kernel = functools.partial(_rank_count_kernel,
                                valid_items=num_items,
-                               tile_items=tile_items)
+                               tile_items=tile_items,
+                               score_fn=score_fn)
 
     greater_t, equal_t = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((dim, batch), lambda i: (0, 0),
+            pl.BlockSpec((user_rows, batch), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((num_targets, batch), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -194,9 +248,9 @@ def _rank_counts_call(user_reprs, item_matrix, item_bias, target_scores,
             jax.ShapeDtypeStruct((num_targets, batch), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * batch * dim * padded_items +
+            flops=2 * batch * user_rows * padded_items +
             2 * batch * num_targets * padded_items,
-            bytes_accessed=padded_items * dim * 4 + batch * dim * 4,
+            bytes_accessed=padded_items * dim * 4 + batch * user_rows * 4,
             transcendentals=0,
         ),
         interpret=interpret,
