@@ -36,37 +36,57 @@ def _streaming_default():
     return jax.default_backend() not in ('cpu',)
 
 
-@functools.partial(jax.jit, static_argnames=('interpret',))
+@functools.partial(jax.jit, static_argnames=('interpret', 'mixture'))
 def _streaming_ranks_device(reprs, item_matrix, item_bias, targets,
-                            target_mask, train_rows, interpret=False):
+                            target_mask, train_rows, interpret=False,
+                            mixture=None):
     """Whole per-batch streaming-rank computation as ONE compiled program.
 
     (Running these steps as eager ops costs hundreds of separate dispatches
     per batch — measured ~100x slower through the dev-tunnel's remote
     compile/dispatch path than a single jitted executable.)
-    """
-    from spotlight_tpu.ops.kernels.ranking import (matched_target_scores,
-                                                   rank_counts)
 
-    num_items = item_matrix.shape[0]
+    ``mixture`` (static): number of mixture components for
+    mixture-of-tastes scoring (None = dot-product scoring); ``reprs`` is
+    then the stacked (B, 2 * mixture * D) taste+attention matrix.
+    """
+    from spotlight_tpu.ops.kernels.ranking import (
+        make_mixture_score_fn, matched_candidate_scores,
+        matched_target_scores, rank_counts)
+
+    num_items, dim = item_matrix.shape
     targets = targets.astype(jnp.int32)
     safe_targets = jnp.clip(targets, 0, num_items - 1)
-    # MXU-matmul arithmetic, bit-matching the kernel's tile scores (an
-    # einsum lowers to a VPU reduction at small T whose 1-ulp differences
-    # flip == comparisons on exact ties; see ranking.matched_target_scores).
-    target_scores = matched_target_scores(reprs, item_matrix, item_bias,
-                                          safe_targets)
+    # Target scores must bit-match the kernel's tile scores (1-ulp
+    # differences flip == comparisons on exact ties): dot scoring uses
+    # MXU-matmul arithmetic (ranking.matched_target_scores), mixture
+    # scoring runs the same kernel score_fn over the gathered target rows
+    # (ranking.matched_candidate_scores).
+    if mixture:
+        score_fn = make_mixture_score_fn(mixture, dim)
+        target_scores = matched_candidate_scores(
+            reprs, item_matrix, item_bias, safe_targets, score_fn,
+            interpret=interpret)
+    else:
+        score_fn = None
+        target_scores = matched_target_scores(reprs, item_matrix, item_bias,
+                                              safe_targets)
 
     greater, equal = rank_counts(reprs, item_matrix, item_bias,
                                  target_scores, safe_targets,
-                                 interpret=interpret)
+                                 interpret=interpret, score_fn=score_fn)
 
     if train_rows is not None:
         train_rows = train_rows.astype(jnp.int32)               # (B, Tr)
         valid_train = train_rows >= 0
         safe_train = jnp.clip(train_rows, 0, num_items - 1)
-        train_scores = matched_target_scores(
-            reprs, item_matrix, item_bias, safe_train)          # (B, Tr)
+        if mixture:
+            train_scores = matched_candidate_scores(
+                reprs, item_matrix, item_bias, safe_train, score_fn,
+                interpret=interpret)                            # (B, Tr)
+        else:
+            train_scores = matched_target_scores(
+                reprs, item_matrix, item_bias, safe_train)      # (B, Tr)
 
         # Comparisons of each target against the user's train items
         # (excluding the target itself by id), chunked over targets so the
@@ -129,10 +149,14 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
     factors = factors_fn(inputs)
     if factors is None:
         return None
-    reprs, item_matrix, item_bias = factors
+    reprs, item_matrix, item_bias = factors[:3]
+    mixture = factors[3] if len(factors) > 3 else None
 
     mesh = getattr(model, '_mesh', None)
     if mesh is not None and mesh.shape.get('model', 1) > 1:
+        if mixture:
+            # Sharded mixture counting is not implemented; materialize.
+            return None
         return _streaming_ranks_sharded(
             mesh, reprs, item_matrix, item_bias,
             jnp.asarray(targets, dtype=jnp.int32),
@@ -145,7 +169,7 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
             jnp.asarray(target_mask),
             (jnp.asarray(train_rows, dtype=jnp.int32)
              if train_rows is not None else None),
-            interpret=interpret)
+            interpret=interpret, mixture=mixture)
     except Exception:
         # Mosaic compile failures on unusual shapes fall back to the
         # materialize-sort path rather than breaking evaluation.
@@ -492,13 +516,17 @@ def _precision_recall_from_scores(scores, targets, target_mask, k_values):
 @functools.partial(jax.jit,
                    static_argnames=('k_max', 'fetch', 'interpret'))
 def _streaming_topk_device(reprs, item_matrix, item_bias, train_rows,
-                           k_max, fetch, interpret=False):
+                           k_max, fetch, interpret=False, mixture=None):
     """Whole per-batch streaming top-k (+ train-mask compaction) as ONE
-    compiled program (see _streaming_ranks_device for why)."""
+    compiled program (see _streaming_ranks_device for why).  ``mixture``
+    selects mixture-of-tastes tile scoring (see _streaming_ranks_device)."""
+    from spotlight_tpu.ops.kernels.ranking import make_mixture_score_fn
     from spotlight_tpu.ops.kernels.topk import streaming_topk
 
+    score_fn = (make_mixture_score_fn(mixture, item_matrix.shape[1])
+                if mixture else None)
     _, top_ids = streaming_topk(reprs, item_matrix, item_bias, fetch,
-                                interpret=interpret)
+                                interpret=interpret, score_fn=score_fn)
     if train_rows is None:
         return top_ids
 
@@ -528,7 +556,8 @@ def _streaming_topk_hits(model, kind, inputs, k_max, train_rows=None,
     factors = factors_fn(inputs)
     if factors is None:
         return None
-    reprs, item_matrix, item_bias = factors
+    reprs, item_matrix, item_bias = factors[:3]
+    mixture = factors[3] if len(factors) > 3 else None
 
     num_items = item_matrix.shape[0]
     if k_max > num_items:
@@ -544,6 +573,9 @@ def _streaming_topk_hits(model, kind, inputs, k_max, train_rows=None,
 
     mesh = getattr(model, '_mesh', None)
     if mesh is not None and mesh.shape.get('model', 1) > 1:
+        if mixture:
+            # Sharded mixture top-k is not implemented; materialize.
+            return None
         # Mesh-sharded tables: per-shard top-k + tournament merge instead
         # of a single-device kernel over a sharded array.
         from spotlight_tpu.parallel.evaluation import sharded_topk
@@ -572,7 +604,7 @@ def _streaming_topk_hits(model, kind, inputs, k_max, train_rows=None,
             reprs, item_matrix, item_bias,
             (jnp.asarray(train_rows, dtype=jnp.int32)
              if train_rows is not None else None),
-            k_max, fetch, interpret=interpret)
+            k_max, fetch, interpret=interpret, mixture=mixture)
     except Exception:
         return None
 

@@ -44,6 +44,7 @@ def _dot_scores(items, users_t):
     return jnp.dot(items, users_t, preferred_element_type=jnp.float32)
 
 
+@functools.lru_cache(maxsize=None)
 def make_mixture_score_fn(num_mixtures, dim):
     """Per-tile scoring for mixture-of-tastes representations.
 
@@ -323,3 +324,80 @@ def reciprocal_ranks_streaming(user_reprs, item_matrix, item_bias,
     rr = jnp.where(target_mask, 1.0 / ranks, 0.0)
     denom = jnp.maximum(target_mask.sum(axis=1), 1)
     return rr.sum(axis=1) / denom
+
+
+def _tile_scores_kernel(users_t_ref, rows_ref, bias_ref, out_ref, *,
+                        score_fn):
+    out_ref[:] = score_fn(rows_ref[:], users_t_ref[:]) + bias_ref[:]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('score_fn', 'tile_rows', 'interpret'))
+def _candidate_scores_call(user_reprs, rows, bias, score_fn, tile_rows=1024,
+                           interpret=False):
+    """Score gathered candidate rows against every user: (R, D) -> (R, B),
+    through the same per-tile ``score_fn`` the streaming kernels use."""
+    batch, user_rows = user_reprs.shape
+    num_rows, dim = rows.shape
+    padded = pl.cdiv(num_rows, tile_rows) * tile_rows
+    pad = padded - num_rows
+    if pad:
+        rows = jnp.concatenate([rows, jnp.zeros((pad, dim), rows.dtype)])
+        bias = jnp.concatenate([bias, jnp.zeros((pad, 1), bias.dtype)])
+    out = pl.pallas_call(
+        functools.partial(_tile_scores_kernel, score_fn=score_fn),
+        grid=(padded // tile_rows,),
+        in_specs=[
+            pl.BlockSpec((user_rows, batch), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_rows, batch), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((padded, batch), jnp.float32),
+        interpret=interpret,
+    )(user_reprs.T, rows, bias)
+    return out[:num_rows]
+
+
+def matched_candidate_scores(user_reprs, item_matrix, item_bias,
+                             candidates, score_fn, chunk=64,
+                             interpret=False):
+    """Per-user scores of candidate item ids for arbitrary scoring.
+
+    Generalizes :func:`matched_target_scores` beyond dot products: the
+    candidates' rows are gathered and scored by a Pallas kernel running
+    the *same* ``score_fn`` as the streaming rank/top-k tiles, so every
+    score is bit-identical to the tile score of the same (item, user) pair
+    (matmul results are per-element deterministic on the MXU, and
+    transcendentals come from the same Mosaic lowering — the tie-exactness
+    requirement matched_target_scores documents for the dot case).
+
+    Parameters
+    ----------
+    user_reprs : (B, K); candidates : (B, T) int
+
+    Returns
+    -------
+    (B, T) float32 scores of candidate t for its own row's user.
+    """
+    batch = user_reprs.shape[0]
+    num_targets = candidates.shape[1]
+    lane = jnp.arange(batch)
+    parts = []
+    for start in range(0, num_targets, chunk):
+        stop = min(start + chunk, num_targets)
+        tgt = jax.lax.slice_in_dim(candidates, start, stop, axis=1)
+        flat = tgt.reshape(-1)
+        rows = item_matrix[flat]
+        brows = item_bias[flat][:, None]
+        scores = _candidate_scores_call(user_reprs, rows, brows, score_fn,
+                                        interpret=interpret)
+        scores = scores.reshape(batch, stop - start, batch)
+        diag = jnp.take_along_axis(
+            scores, lane[:, None, None], axis=2)[..., 0]
+        parts.append(diag)
+    return jnp.concatenate(parts, axis=1)

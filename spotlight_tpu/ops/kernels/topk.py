@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from spotlight_tpu.ops.kernels.ranking import _dot_scores
+
 _NEG_INF = float('-inf')
 _ID_SENTINEL = 2 ** 30
 
@@ -42,11 +44,12 @@ ROUND_K = 128
 
 def _topk_kernel(users_t_ref, resume_score_ref, resume_id_ref, items_ref,
                  bias_ref, out_scores_ref, out_ids_ref, pool_s, pool_i,
-                 *, k, valid_items, tile_items):
+                 *, k, valid_items, tile_items, score_fn):
     """One grid step: score an item tile, merge it into the running top-k.
 
     Refs (item-major layout):
-        users_t_ref      : (D, B)       VMEM, resident across steps
+        users_t_ref      : (K, B)       VMEM, resident across steps (K =
+                                        score_fn's user-feature rows)
         resume_score_ref : (1, B)       VMEM — selection resumes strictly
         resume_id_ref    : (1, B)         after this (score, id) key
         items_ref        : (TILE, D)    VMEM, this step's item tile
@@ -62,8 +65,7 @@ def _topk_kernel(users_t_ref, resume_score_ref, resume_id_ref, items_ref,
         out_scores_ref[:] = jnp.full_like(out_scores_ref, _NEG_INF)
         out_ids_ref[:] = jnp.full_like(out_ids_ref, jnp.int32(_ID_SENTINEL))
 
-    scores = jnp.dot(items_ref[:], users_t_ref[:],
-                     preferred_element_type=jnp.float32)
+    scores = score_fn(items_ref[:], users_t_ref[:])
     scores = scores + bias_ref[:]                     # (TILE, B)
 
     base = step * tile_items
@@ -101,12 +103,15 @@ def _topk_kernel(users_t_ref, resume_score_ref, resume_id_ref, items_ref,
 
 
 def streaming_topk(user_reprs, item_matrix, item_bias, k, tile_items=1024,
-                   interpret=False):
+                   interpret=False, score_fn=None):
     """Exact top-k catalog items per user without materializing scores.
 
     Parameters
     ----------
-    user_reprs : (B, D) float32
+    user_reprs : (B, K) float32
+        Per-user scoring operand: user vectors (K = D) for the default dot
+        scoring, or whatever ``score_fn`` consumes (e.g. stacked
+        taste+attention vectors for mixture-of-tastes scoring)
     item_matrix : (N, D) float32; item_bias : (N,) float32
     k : int (static); must not exceed the catalog size
 
@@ -127,10 +132,11 @@ def streaming_topk(user_reprs, item_matrix, item_bias, k, tile_items=1024,
         raise ValueError('k ({}) exceeds the catalog size ({})'
                          .format(k, num_items))
     batch = user_reprs.shape[0]
+    score_fn = score_fn or _dot_scores
     if k <= ROUND_K:
         return _streaming_topk_call(user_reprs, item_matrix, item_bias, k,
                                     tile_items=tile_items,
-                                    interpret=interpret)
+                                    interpret=interpret, score_fn=score_fn)
 
     resume_score = jnp.full((batch, 1), jnp.inf, jnp.float32)
     resume_id = jnp.full((batch, 1), -1, jnp.int32)
@@ -141,7 +147,8 @@ def streaming_topk(user_reprs, item_matrix, item_bias, k, tile_items=1024,
         scores, ids = _streaming_topk_call(
             user_reprs, item_matrix, item_bias, round_k,
             tile_items=tile_items, interpret=interpret,
-            resume_score=resume_score, resume_id=resume_id)
+            resume_score=resume_score, resume_id=resume_id,
+            score_fn=score_fn)
         score_parts.append(scores)
         id_parts.append(ids)
         resume_score = scores[:, -1:]
@@ -152,14 +159,16 @@ def streaming_topk(user_reprs, item_matrix, item_bias, k, tile_items=1024,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('k', 'tile_items', 'interpret'))
+                   static_argnames=('k', 'tile_items', 'interpret',
+                                    'score_fn'))
 def _streaming_topk_call(user_reprs, item_matrix, item_bias, k,
                          tile_items=1024, interpret=False,
-                         resume_score=None, resume_id=None):
+                         resume_score=None, resume_id=None,
+                         score_fn=_dot_scores):
     """One bounded-``k`` kernel launch, optionally resuming after a
     (score, id) key from a previous round."""
-    batch, dim = user_reprs.shape
-    num_items = item_matrix.shape[0]
+    batch, user_rows = user_reprs.shape
+    num_items, dim = item_matrix.shape
 
     if resume_score is None:
         resume_score = jnp.full((batch, 1), jnp.inf, jnp.float32)
@@ -180,13 +189,13 @@ def _streaming_topk_call(user_reprs, item_matrix, item_bias, k,
             [item_bias, jnp.zeros((pad,), item_bias.dtype)])
 
     kernel = functools.partial(_topk_kernel, k=k, valid_items=num_items,
-                               tile_items=tile_items)
+                               tile_items=tile_items, score_fn=score_fn)
 
     scores_t, ids_t = pl.pallas_call(
         kernel,
         grid=(padded_items // tile_items,),
         in_specs=[
-            pl.BlockSpec((dim, batch), lambda i: (0, 0),
+            pl.BlockSpec((user_rows, batch), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, batch), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -212,8 +221,8 @@ def _streaming_topk_call(user_reprs, item_matrix, item_bias, k,
             pltpu.VMEM((tile_items + k, batch), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * batch * dim * padded_items,
-            bytes_accessed=padded_items * dim * 4 + batch * dim * 4,
+            flops=2 * batch * user_rows * padded_items,
+            bytes_accessed=padded_items * dim * 4 + batch * user_rows * 4,
             transcendentals=0,
         ),
         interpret=interpret,

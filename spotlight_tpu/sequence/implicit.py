@@ -287,11 +287,15 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
     @functools.cached_property
     def _rank_factors_jit(self):
         from spotlight_tpu.sequence.representations import (CNNNet, LSTMNet,
+                                                            MixtureLSTMNet,
                                                             PoolNet)
 
         net = self._net
-        if not isinstance(net, (PoolNet, LSTMNet, CNNNet)):
-            return None  # mixture/custom scoring is not a plain dot product
+        mixture = None
+        if isinstance(net, MixtureLSTMNet):
+            mixture = net.num_mixtures
+        elif not isinstance(net, (PoolNet, LSTMNet, CNNNet)):
+            return None  # custom representations: materialize-score path
 
         @jax.jit
         def item_factors(params):
@@ -300,19 +304,24 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
         @jax.jit
         def final_reprs(params, sequences):
             _, final = net.user_representation(params, sequences)
+            if mixture is not None:
+                # (B, 2M, D) taste+attention stack -> (B, 2M*D) for the
+                # mixture streaming score_fn (tastes first, then attention
+                # — the representation's own component order).
+                final = final.reshape(final.shape[0], -1)
             return final
 
-        return item_factors, final_reprs
+        return item_factors, final_reprs, mixture
 
     def _rank_factors_sequences(self, prefix_batch):
-        """(final_reprs, item_matrix, item_bias) for the streaming rank
-        kernel, or None for non-dot-product representations.  The item
-        matrix is cached per parameter version (paid once, not per
+        """(final_reprs, item_matrix, item_bias[, mixture]) for the
+        streaming rank/top-k kernels, or None for custom representations.
+        The item matrix is cached per parameter version (paid once, not per
         evaluation batch)."""
         fns = self._rank_factors_jit
         if fns is None:
             return None
-        item_factors, final_reprs = fns
+        item_factors, final_reprs, mixture = fns
 
         cache = getattr(self, '_item_factor_cache', None)
         if cache is None or cache[0] is not self._params:
@@ -322,7 +331,9 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
 
         prefix = np.atleast_2d(np.asarray(prefix_batch, dtype=np.int32))
         final = final_reprs(self._params, jnp.asarray(prefix))
-        return final, matrix, bias
+        if mixture is None:
+            return final, matrix, bias
+        return final, matrix, bias, mixture
 
     def _score_catalog_sequences(self, sequences):
         """(B, num_items) next-item scores for a batch of sequences — the

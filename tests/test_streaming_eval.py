@@ -141,21 +141,80 @@ def test_streaming_mrr_on_mesh_matches():
     assert abs(streamed.mean() - standard.mean()) < 1e-3
 
 
-def test_streaming_falls_back_for_mixture():
-    """Mixture scoring is not a dot product; the streaming path must fall
-    back to the standard path rather than mis-evaluate."""
+@pytest.fixture(scope='module')
+def fitted_mixture():
     interactions = sequential_dataset(
         num_users=40, num_items=50, num_interactions=2000,
         concentration_parameter=0.01)
     sequences = interactions.to_sequence(max_sequence_length=8)
     model = ImplicitSequenceModel(
-        representation='mixture', n_iter=1,
+        representation='mixture', n_iter=2,
         random_state=np.random.RandomState(42))
     model.fit(sequences)
-    assert model._rank_factors_sequences(
-        sequences.sequences[:4, :-1]) is None
-    out = sequence_mrr_score(model, sequences, streaming=True)
-    assert out.shape == (len(sequences.sequences),)
+    return sequences, model
+
+
+def test_streaming_mixture_mrr_matches(fitted_mixture):
+    """Mixture-of-tastes scoring streams through the generalized kernel
+    (M taste/attention matmuls + in-tile softmax) and matches the
+    materialize path."""
+    sequences, model = fitted_mixture
+    factors = model._rank_factors_sequences(sequences.sequences[:4, :-1])
+    assert len(factors) == 4 and factors[3] == model._net.num_mixtures
+    standard = sequence_mrr_score(model, sequences, streaming=False)
+    streamed = sequence_mrr_score(model, sequences, streaming=True)
+    np.testing.assert_allclose(streamed, standard, rtol=1e-4, atol=1e-6)
+
+
+def test_streaming_mixture_mrr_exclude_preceding_matches(fitted_mixture):
+    sequences, model = fitted_mixture
+    standard = sequence_mrr_score(model, sequences, exclude_preceding=True,
+                                  streaming=False)
+    streamed = sequence_mrr_score(model, sequences, exclude_preceding=True,
+                                  streaming=True)
+    np.testing.assert_allclose(streamed, standard, rtol=1e-4, atol=1e-6)
+
+
+def test_streaming_mixture_precision_recall_matches(fitted_mixture):
+    from spotlight_tpu.evaluation import sequence_precision_recall_score
+
+    sequences, model = fitted_mixture
+    p_std, r_std = sequence_precision_recall_score(model, sequences, k=4,
+                                                   streaming=False)
+    p_str, r_str = sequence_precision_recall_score(model, sequences, k=4,
+                                                   streaming=True)
+    np.testing.assert_allclose(p_str, p_std, rtol=1e-6)
+    np.testing.assert_allclose(r_str, r_std, rtol=1e-6)
+
+
+def test_streaming_mixture_tie_handling(fitted_mixture):
+    """Exactly duplicated item rows must tie bit-exactly inside the kernel
+    (tile scores and the matched candidate scores come from the same
+    Mosaic arithmetic) and produce average ranks, matching the standard
+    path's rankdata semantics."""
+    sequences, model = fitted_mixture
+
+    weight = np.asarray(model._params['item_embeddings']['weight']).copy()
+    weight[6] = weight[5]  # duplicate fused row: factors + bias
+    params = dict(model._params)
+    emb = dict(params['item_embeddings'])
+    emb['weight'] = np.asarray(weight)
+    params['item_embeddings'] = emb
+    model._params = params  # new identity -> item-factor cache refreshes
+
+    # Force item 5 to be the scored target of every row.
+    doctored = sequences.sequences.copy()
+    doctored[:, -1] = 5
+    from spotlight_tpu.data.interactions import SequenceInteractions
+    test = SequenceInteractions(doctored, num_items=sequences.num_items)
+
+    standard = sequence_mrr_score(model, test, streaming=False)
+    streamed = sequence_mrr_score(model, test, streaming=True)
+    np.testing.assert_allclose(streamed, standard, rtol=1e-6, atol=1e-8)
+    # The duplicated row forces a two-way tie: every rank is k + 0.5, so
+    # no reciprocal rank can be 1/k for integer k.
+    ranks = 1.0 / streamed
+    assert np.allclose(ranks % 1.0, 0.5, atol=1e-4)
 
 
 def test_streaming_sequence_pr_exclude_preceding_matches(fitted_sequence):
