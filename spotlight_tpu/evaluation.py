@@ -154,13 +154,10 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
 
     mesh = getattr(model, '_mesh', None)
     if mesh is not None and mesh.shape.get('model', 1) > 1:
-        if mixture:
-            # Sharded mixture counting is not implemented; materialize.
-            return None
         return _streaming_ranks_sharded(
             mesh, reprs, item_matrix, item_bias,
             jnp.asarray(targets, dtype=jnp.int32),
-            jnp.asarray(target_mask), train_rows)
+            jnp.asarray(target_mask), train_rows, mixture=mixture)
 
     try:
         rr = _streaming_ranks_device(
@@ -181,17 +178,45 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
     return rr
 
 
+def _candidate_scores_global(reprs, item_matrix, item_bias, candidates,
+                             mixture, chunk=64):
+    """(B, T) candidate scores at the global (unsharded) view.
+
+    Dot scoring routes through ``matched_target_scores`` (MXU-matmul
+    arithmetic); mixture scoring through the same batch-major formula the
+    per-shard counting uses (`parallel.evaluation.batch_scores`), keeping
+    the arithmetic aligned with the sharded tile scores up to the 1-ulp
+    shard-boundary jitter the mesh tests already tolerate."""
+    from spotlight_tpu.ops.kernels.ranking import matched_target_scores
+    from spotlight_tpu.parallel.evaluation import batch_scores
+
+    if not mixture:
+        return matched_target_scores(reprs, item_matrix, item_bias,
+                                     candidates)
+    batch = reprs.shape[0]
+    lane = jnp.arange(batch)
+    parts = []
+    for start in range(0, candidates.shape[1], chunk):
+        stop = min(start + chunk, candidates.shape[1])
+        tgt = jax.lax.slice_in_dim(candidates, start, stop, axis=1)
+        flat = tgt.reshape(-1)
+        allp = batch_scores(reprs, item_matrix[flat], item_bias[flat],
+                            mixture)                     # (B, B*C)
+        allp = allp.reshape(batch, batch, stop - start)  # [user, row_b, c]
+        parts.append(allp[lane, lane, :])
+    return jnp.concatenate(parts, axis=1)
+
+
 def _streaming_ranks_sharded(mesh, reprs, item_matrix, item_bias, targets,
-                             target_mask, train_rows):
+                             target_mask, train_rows, mixture=None):
     """Mesh-sharded tables: count per shard against resident rows and psum
     (parallel/evaluation.py) instead of a single-device Pallas launch."""
-    from spotlight_tpu.ops.kernels.ranking import matched_target_scores
     from spotlight_tpu.parallel.evaluation import sharded_rank_counts
 
     num_items = item_matrix.shape[0]
     safe_targets = jnp.clip(targets, 0, num_items - 1)
-    target_scores = matched_target_scores(reprs, item_matrix, item_bias,
-                                          safe_targets)
+    target_scores = _candidate_scores_global(reprs, item_matrix, item_bias,
+                                             safe_targets, mixture)
 
     shards = mesh.shape['model']
     pad = -num_items % shards
@@ -204,15 +229,16 @@ def _streaming_ranks_sharded(mesh, reprs, item_matrix, item_bias, targets,
         item_bias = jnp.concatenate(
             [item_bias, jnp.full((pad,), -FLOAT_MAX, item_bias.dtype)])
     greater, equal = sharded_rank_counts(
-        mesh, reprs, item_matrix, item_bias, target_scores, safe_targets)
+        mesh, reprs, item_matrix, item_bias, target_scores, safe_targets,
+        mixture=mixture)
 
     if train_rows is not None:
         train_rows = jnp.asarray(train_rows, dtype=jnp.int32)
         valid_train = train_rows >= 0
         safe_train = jnp.clip(train_rows, 0, num_items - 1)
-        train_scores = matched_target_scores(
+        train_scores = _candidate_scores_global(
             reprs, item_matrix[:num_items], item_bias[:num_items],
-            safe_train)
+            safe_train, mixture)
         chunk = 32
         num_t = safe_targets.shape[1]
         tr_greater_parts, tr_equal_parts, in_train_parts = [], [], []
@@ -573,9 +599,6 @@ def _streaming_topk_hits(model, kind, inputs, k_max, train_rows=None,
 
     mesh = getattr(model, '_mesh', None)
     if mesh is not None and mesh.shape.get('model', 1) > 1:
-        if mixture:
-            # Sharded mixture top-k is not implemented; materialize.
-            return None
         # Mesh-sharded tables: per-shard top-k + tournament merge instead
         # of a single-device kernel over a sharded array.
         from spotlight_tpu.parallel.evaluation import sharded_topk
@@ -591,7 +614,7 @@ def _streaming_topk_hits(model, kind, inputs, k_max, train_rows=None,
                 [item_bias, jnp.full((pad,), -FLOAT_MAX,
                                      item_bias.dtype)])
         _, top_ids = sharded_topk(mesh, reprs, item_matrix, item_bias,
-                                  fetch)
+                                  fetch, mixture=mixture)
         if train_rows is None:
             return top_ids
         train = jnp.asarray(train_rows, dtype=jnp.int32)

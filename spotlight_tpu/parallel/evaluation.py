@@ -26,17 +26,53 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 
+def batch_scores(users, items, bias, mixture=None):
+    """(B, N) scores of a user operand against item rows.
+
+    ``users`` is (B, D) for dot scoring (``mixture=None``) or the stacked
+    (B, 2*M*D) taste+attention matrix for mixture-of-tastes scoring — the
+    batch-major analogue of the Pallas kernels' per-tile ``score_fn``
+    (`ops/kernels/ranking.make_mixture_score_fn`).  Used per shard over
+    local rows and for the target-score computation at the global view.
+    """
+    if not mixture:
+        return jnp.dot(users, items.T,
+                       preferred_element_type=jnp.float32) + bias
+    dim = items.shape[1]
+    tastes, attns = [], []
+    for m in range(mixture):
+        lo = m * dim
+        tastes.append(jnp.dot(users[:, lo:lo + dim], items.T,
+                              preferred_element_type=jnp.float32))
+        lo = (mixture + m) * dim
+        attns.append(jnp.dot(users[:, lo:lo + dim], items.T,
+                             preferred_element_type=jnp.float32))
+    amax = attns[0]
+    for attn in attns[1:]:
+        amax = jnp.maximum(amax, attn)
+    weights = [jnp.exp(attn - amax) for attn in attns]
+    denom = weights[0]
+    for weight in weights[1:]:
+        denom = denom + weight
+    out = weights[0] * tastes[0]
+    for weight, taste in zip(weights[1:], tastes[1:]):
+        out = out + weight * taste
+    return out / denom + bias
+
+
 def sharded_topk(mesh, user_reprs, item_matrix, item_bias, k,
-                 axis='model'):
+                 axis='model', mixture=None):
     """Top-k items per user over a row-sharded catalog.
 
     Parameters
     ----------
     mesh : jax.sharding.Mesh
-    user_reprs : (B, D) — replicated over the item axis
+    user_reprs : (B, D) — replicated over the item axis (or (B, 2*M*D)
+        for mixture scoring, see :func:`batch_scores`)
     item_matrix : (N, D) — sharded over ``axis`` (N divisible by axis size)
     item_bias : (N,)
     k : int
+    mixture : int, optional — mixture-of-tastes component count
 
     Returns
     -------
@@ -53,8 +89,7 @@ def sharded_topk(mesh, user_reprs, item_matrix, item_bias, k,
         out_specs=(P(None, axis), P(None, axis)),
         check_vma=True)
     def local_topk(users, items_local, bias_local):
-        scores = jnp.dot(users, items_local.T,
-                         preferred_element_type=jnp.float32) + bias_local
+        scores = batch_scores(users, items_local, bias_local, mixture)
         # A shard can hold fewer than k rows; pad its candidate list so
         # every shard contributes exactly k entries to the merge.
         local_k = min(k, local_rows)
@@ -85,7 +120,8 @@ def sharded_topk(mesh, user_reprs, item_matrix, item_bias, k,
 
 
 def sharded_rank_counts(mesh, user_reprs, item_matrix, item_bias,
-                        target_scores, target_ids, axis='model'):
+                        target_scores, target_ids, axis='model',
+                        mixture=None):
     """Comparison counts (greater, equal) of target scores against a
     row-sharded catalog, excluding the target item itself.
 
@@ -105,8 +141,7 @@ def sharded_rank_counts(mesh, user_reprs, item_matrix, item_bias,
         out_specs=(P(), P()),
         check_vma=True)
     def counts(users, items_local, bias_local, tscores, tids):
-        scores = jnp.dot(users, items_local.T,
-                         preferred_element_type=jnp.float32) + bias_local
+        scores = batch_scores(users, items_local, bias_local, mixture)
         shard = jax.lax.axis_index(axis)
         global_col = (jnp.arange(scores.shape[1], dtype=jnp.int32)
                       + shard * local_rows)

@@ -395,3 +395,42 @@ def test_padded_and_dedup_rows_vectorized():
         expected = np.unique(mat[i])
         assert np.array_equal(dd[i, :len(expected)], expected)
         assert (dd[i, len(expected):] == -1).all()
+
+
+def test_streaming_mixture_mrr_on_mesh_matches():
+    """Mixture scoring also streams when the item table is mesh-sharded:
+    per-shard batch_scores counting + psum (parallel/evaluation.py)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+
+    from spotlight_tpu.data import user_based_train_test_split
+    from spotlight_tpu.evaluation import sequence_precision_recall_score
+    from spotlight_tpu.parallel import make_mesh
+
+    interactions = sequential_dataset(
+        num_users=40, num_items=50, num_interactions=2000,
+        concentration_parameter=0.01)
+    train, test = user_based_train_test_split(
+        interactions, random_state=np.random.RandomState(0))
+    train = train.to_sequence(max_sequence_length=8)
+    test = test.to_sequence(max_sequence_length=8)
+    model = ImplicitSequenceModel(
+        loss='bpr', representation='mixture', n_iter=2, batch_size=64,
+        mesh=make_mesh(data=2, model=4),
+        random_state=np.random.RandomState(42))
+    model.fit(train)
+
+    standard = sequence_mrr_score(model, test, streaming=False)
+    streamed = sequence_mrr_score(model, test, streaming=True)
+    # Rank jitter near ties from per-shard accumulation order.
+    np.testing.assert_allclose(streamed, standard, rtol=0.05, atol=5e-3)
+    assert abs(streamed.mean() - standard.mean()) < 1e-3
+
+    p_std, r_std = sequence_precision_recall_score(model, test, k=4,
+                                                   streaming=False)
+    p_str, r_str = sequence_precision_recall_score(model, test, k=4,
+                                                   streaming=True)
+    np.testing.assert_allclose(p_str, p_std, rtol=1e-6)
+    np.testing.assert_allclose(r_str, r_std, rtol=1e-6)
