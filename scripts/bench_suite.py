@@ -81,6 +81,18 @@ def bench_sequence():
     emit('lstm_catalog_eval', eval_rows * 20_000 / elapsed / 1e9,
          'G item-scores/s', users_per_s=round(eval_rows / elapsed, 1))
 
+    # Mixture-of-tastes eval rides the pluggable-score streaming kernel.
+    mix = ImplicitSequenceModel(
+        loss='bpr', representation='mixture', embedding_dim=64,
+        batch_size=256, n_iter=1, random_state=np.random.RandomState(0))
+    mix.fit(SequenceInteractions(sequences[:2048], num_items=20_000))
+    sequence_mrr_score(mix, test)        # warm-up + compile
+    start = time.perf_counter()
+    sequence_mrr_score(mix, test)
+    elapsed = time.perf_counter() - start
+    emit('mixture_catalog_eval', eval_rows / elapsed, 'users/s',
+         config='2048 users x 20K items, M=4')
+
 
 def bench_rank_kernel():
     import jax

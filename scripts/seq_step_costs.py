@@ -13,6 +13,8 @@ Variants:
     noneg       negatives reuse the positive scores (no negative gather)
     fwd         user_representation forward only (no loss, no backward)
     recur       the LSTM recurrence alone (embeddings fixed, no grad)
+    pooling / cnn / mixture
+                production step for the other representations
 """
 
 import sys
@@ -29,7 +31,7 @@ import optax  # noqa: E402
 from spotlight_tpu.ops.losses import bpr_loss  # noqa: E402
 from spotlight_tpu.ops.sampling import sample_items_device  # noqa: E402
 from spotlight_tpu.sequence.representations import (  # noqa: E402
-    PADDING_IDX, LSTMNet)
+    PADDING_IDX, CNNNet, LSTMNet, MixtureLSTMNet, PoolNet)
 
 NUM_ITEMS = 20_000
 DIM = 64
@@ -39,7 +41,14 @@ NUM_SEQ = 20_480  # 80 batches
 
 
 def build(variant):
-    net = LSTMNet(NUM_ITEMS, DIM, fused=(variant != 'classic'))
+    if variant == 'pooling':
+        net = PoolNet(NUM_ITEMS, DIM)
+    elif variant == 'cnn':
+        net = CNNNet(NUM_ITEMS, DIM, kernel_width=5, num_layers=1)
+    elif variant == 'mixture':
+        net = MixtureLSTMNet(NUM_ITEMS, DIM)
+    else:
+        net = LSTMNet(NUM_ITEMS, DIM, fused=(variant != 'classic'))
     params = net.init(jax.random.PRNGKey(0))
     optimizer = optax.adam(1e-2)
     opt_state = optimizer.init(params)
