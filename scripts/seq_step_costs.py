@@ -63,6 +63,8 @@ def build(variant):
         positive = net.score(params, reprs, seqs)
         if variant == 'noneg':
             negative = positive * 0.5
+        elif variant == 'inbatch':
+            negative = net.score_inbatch_negatives(params, reprs, seqs)
         else:
             negative_items = sample_items_device(key, NUM_ITEMS, seqs.shape)
             negative = net.score(params, reprs, negative_items)

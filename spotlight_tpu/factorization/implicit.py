@@ -56,6 +56,15 @@ class ImplicitFactorizationModel(_FactorizationBase):
         Collective used for sharded table lookups (docs/parallelism.md).
     num_negative_samples : int, optional
         Number of negatives per positive for ``adaptive_hinge``.
+    negative_sampling : str, 'uniform' (default) or 'in_batch'
+        'uniform' draws negatives uniformly over the catalog on device
+        (reference semantics, `/root/reference/spotlight/sampling.py:8`).
+        'in_batch' scores each positive against other examples' positive
+        items in the same batch (circular shift): negatives then follow
+        the empirical item-popularity distribution — often a stronger
+        ranking signal — and training touches ~1/3 fewer random HBM rows
+        because negative rows are never gathered or scattered separately
+        (docs/performance.md "In-batch negatives").
     """
 
     def __init__(self,
@@ -72,14 +81,17 @@ class ImplicitFactorizationModel(_FactorizationBase):
                  random_state=None,
                  num_negative_samples=5,
                  mesh=None,
-                 exchange='psum'):
+                 exchange='psum',
+                 negative_sampling='uniform'):
         assert loss in ('pointwise', 'bpr', 'hinge', 'adaptive_hinge')
+        assert negative_sampling in ('uniform', 'in_batch')
         del use_cuda  # accepted for API parity; devices come from jax
         super().__init__(embedding_dim, n_iter, batch_size, l2, learning_rate,
                          optimizer_func, representation, sparse, random_state,
                          mesh=mesh, exchange=exchange)
         self._loss = loss
         self._num_negative_samples = num_negative_samples
+        self._negative_sampling = negative_sampling
         self._epoch_fn_cache = {}
 
     def _epoch_fn(self, num_batches):
@@ -95,9 +107,20 @@ class ImplicitFactorizationModel(_FactorizationBase):
         batch_size = self._batch_size
 
         fused = hasattr(net, 'apply_with_negatives')
+        in_batch = self._negative_sampling == 'in_batch'
+        if in_batch and not hasattr(net, 'apply_with_inbatch_negatives'):
+            raise ValueError(
+                "negative_sampling='in_batch' needs a representation with "
+                'apply_with_inbatch_negatives (BilinearNet has it).')
 
         def elems_fn(params, batch, key):
             users, items = batch['user_ids'], batch['item_ids']
+            if in_batch:
+                positive, negative = net.apply_with_inbatch_negatives(
+                    params, users, items,
+                    num_negatives=(num_negatives if adaptive else 1))
+                return (loss_func(positive, negative, reduce=False),
+                        batch['mask'])
             shape = ((num_negatives,) + users.shape if adaptive
                      else users.shape)
             negative_items = sample_items_device(key, num_items, shape)

@@ -274,6 +274,51 @@ class BilinearNet:
         negative = dots[1:] if stacked else dots[1]
         return positive, negative
 
+    def apply_with_inbatch_negatives(self, params, user_ids, item_ids,
+                                     num_negatives=1):
+        """Score positives against *in-batch* negatives.
+
+        The negatives for example ``b`` are the positive items of other
+        examples in the same batch (a circular shift by 1..n), so their
+        embedding rows are the rows already gathered for the positives —
+        no negative gather in the forward pass and no separate negative
+        scatter-add in the backward (the rolled rows' cotangents fold into
+        the positive rows' scatter).  Negatives are therefore drawn from
+        the *empirical item popularity* distribution rather than uniformly
+        — the classic in-batch sampling trade-off (see
+        ``ImplicitFactorizationModel(negative_sampling='in_batch')``).
+
+        Returns
+        -------
+        (positive, negative) : (B,) and ((B,) if ``num_negatives == 1``
+            else (num_negatives, B)) scores.
+        """
+        if self._fused:
+            dim = self.embedding_dim
+            u, iv = self._fused_rows(params, user_ids, item_ids)
+            uf, ub = u[..., :dim], u[..., dim]
+            positive = jnp.sum(uf * iv[..., :dim], axis=-1) + ub + iv[..., dim]
+            negatives = []
+            for shift in range(1, num_negatives + 1):
+                nv = jnp.roll(iv, shift, axis=0)
+                negatives.append(
+                    jnp.sum(uf * nv[..., :dim], axis=-1) + ub + nv[..., dim])
+        else:
+            user_emb, item_emb, user_bias, item_bias = self._layers()
+            users = user_emb.apply(params['user_embeddings'], user_ids)
+            u_bias = user_bias.apply(params['user_biases'], user_ids)[..., 0]
+            items = item_emb.apply(params['item_embeddings'], item_ids)
+            i_bias = item_bias.apply(params['item_biases'], item_ids)[..., 0]
+            positive = jnp.sum(users * items, axis=-1) + u_bias + i_bias
+            negatives = []
+            for shift in range(1, num_negatives + 1):
+                nv = jnp.roll(items, shift, axis=0)
+                nb = jnp.roll(i_bias, shift, axis=0)
+                negatives.append(jnp.sum(users * nv, axis=-1) + u_bias + nb)
+        if num_negatives == 1:
+            return positive, negatives[0]
+        return positive, jnp.stack(negatives, axis=0)
+
     def item_factors(self, params):
         """Dense ``(num_items, dim)`` factor matrix and ``(num_items,)``
         bias vector — the inputs to catalog scoring / streaming ranking."""

@@ -67,6 +67,14 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
         Collective used for sharded table lookups (docs/parallelism.md).
     num_negative_samples : int, optional
         Negatives per positive for ``adaptive_hinge``.
+    negative_sampling : str, 'uniform' (default) or 'in_batch'
+        'uniform' draws negatives uniformly over the catalog on device
+        (reference semantics).  'in_batch' scores each timestep against
+        the same timestep's target in other batch rows (circular shift):
+        negatives then follow the empirical item-popularity distribution,
+        and training touches ~1/3 fewer random HBM rows — negative rows
+        are never gathered or scattered separately
+        (docs/performance.md "In-batch negatives").
     """
 
     def __init__(self,
@@ -83,8 +91,10 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
                  random_state=None,
                  num_negative_samples=5,
                  mesh=None,
-                 exchange='psum'):
+                 exchange='psum',
+                 negative_sampling='uniform'):
         assert loss in ('pointwise', 'bpr', 'hinge', 'adaptive_hinge')
+        assert negative_sampling in ('uniform', 'in_batch')
         if isinstance(representation, str):
             assert representation in ('pooling', 'cnn', 'lstm', 'mixture')
         del use_cuda  # API parity; devices come from jax
@@ -111,6 +121,7 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
         self._sparse = sparse
         self._random_state = random_state or np.random.RandomState()
         self._num_negative_samples = num_negative_samples
+        self._negative_sampling = negative_sampling
         self._mesh = mesh
         self._exchange = exchange
 
@@ -203,13 +214,24 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
         optimizer = self._optimizer
         batch_size = self._batch_size
 
+        in_batch = self._negative_sampling == 'in_batch'
+        if in_batch and not hasattr(net, 'score_inbatch_negatives'):
+            raise ValueError(
+                "negative_sampling='in_batch' needs a representation with "
+                'score_inbatch_negatives (the built-in representations '
+                'have it).')
+
         def elems_fn(params, batch, key):
             sequences = batch['sequences']                  # (B, T)
             user_representations, _ = net.user_representation(
                 params, sequences)
             positive = net.score(params, user_representations, sequences)
 
-            if adaptive:
+            if in_batch:
+                negative = net.score_inbatch_negatives(
+                    params, user_representations, sequences,
+                    num_negatives=(num_negatives if adaptive else 1))
+            elif adaptive:
                 negative_items = sample_items_device(
                     key, num_items,
                     (num_negatives,) + sequences.shape)

@@ -207,8 +207,39 @@ class _ItemRepresentationBase:
         (B, T) float scores
         """
         target_embedding, target_bias = self._target_rows(params, targets)
-        dot = jnp.sum(user_representations * target_embedding, axis=-1)
-        return dot + target_bias
+        return self._score_vectors(user_representations, target_embedding,
+                                   target_bias)
+
+    def _score_vectors(self, user_representations, vectors, bias):
+        """Score already-gathered target rows (vectors (B, T, D), bias
+        (B, T)) against per-step representations."""
+        dot = jnp.sum(user_representations * vectors, axis=-1)
+        return dot + bias
+
+    def score_inbatch_negatives(self, params, user_representations, targets,
+                                num_negatives=1):
+        """Scores of *in-batch* negatives: the target rows of other batch
+        rows (circular shift by 1..n along the batch axis), reusing the
+        rows already gathered for the positives — no negative gather, and
+        the rolled rows' backward cotangents fold into the positive rows'
+        scatter-add.  Negatives follow the batch's empirical item
+        distribution (see ``ImplicitSequenceModel(negative_sampling=
+        'in_batch')``); a rolled padding position contributes the frozen
+        zero row.
+
+        Returns (B, T) scores for ``num_negatives == 1``, else
+        (num_negatives, B, T).
+        """
+        vectors, bias = self._target_rows(params, targets)
+        outs = []
+        for shift in range(1, num_negatives + 1):
+            rolled = jnp.roll(vectors, shift, axis=0)
+            rolled_bias = jnp.roll(bias, shift, axis=0)
+            outs.append(self._score_vectors(user_representations, rolled,
+                                            rolled_bias))
+        if num_negatives == 1:
+            return outs[0]
+        return jnp.stack(outs, axis=0)
 
     def _catalog_matrix(self, params):
         """Densified (num_items, dim) item matrix and (num_items,) bias —
@@ -490,21 +521,23 @@ class MixtureLSTMNet(_ItemRepresentationBase):
 
     def score(self, params, user_representations, targets):
         """user_representations: (B, T, 2M, D); targets: (B, T)."""
+        target_embedding, target_bias = self._target_rows(
+            params, targets)                                # (B, T, D)
+        return self._score_vectors(user_representations, target_embedding,
+                                   target_bias)
+
+    def _score_vectors(self, user_representations, vectors, bias):
         m = self.num_mixtures
         components = user_representations[..., :m, :]       # (B, T, M, D)
         mixture_vectors = user_representations[..., m:, :]  # (B, T, M, D)
 
-        target_embedding, target_bias = self._target_rows(
-            params, targets)                                # (B, T, D)
-
-        attention = jnp.einsum('btmd,btd->btm', mixture_vectors,
-                               target_embedding,
+        attention = jnp.einsum('btmd,btd->btm', mixture_vectors, vectors,
                                preferred_element_type=jnp.float32)
         weights = jax.nn.softmax(attention, axis=-1)
         weighted = jnp.einsum('btm,btmd->btd', weights, components,
                               preferred_element_type=jnp.float32)
-        dot = jnp.sum(weighted * target_embedding, axis=-1)
-        return dot + target_bias
+        dot = jnp.sum(weighted * vectors, axis=-1)
+        return dot + bias
 
     def score_catalog(self, params, final_representations):
         """final_representations: (B, 2M, D) -> (B, num_items)."""

@@ -1,0 +1,109 @@
+"""In-batch negative sampling (negative_sampling='in_batch').
+
+Negatives are other batch rows' positive items (circular shift), reusing
+the already-gathered rows: correctness is checked exactly against scoring
+the rolled ids explicitly, and learnability against the reference's own
+statistical gates.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spotlight_tpu.factorization import (BilinearNet,
+                                         ImplicitFactorizationModel)
+from spotlight_tpu.sequence import ImplicitSequenceModel, LSTMNet
+
+from tests._fixtures import factorization_dataset, sequential_dataset
+
+
+def test_bilinear_inbatch_matches_rolled_ids(random_state):
+    net = BilinearNet(num_users=30, num_items=40, embedding_dim=8)
+    params = net.init(jax.random.PRNGKey(0))
+    users = jnp.asarray(random_state.randint(0, 30, 16), jnp.int32)
+    items = jnp.asarray(random_state.randint(0, 40, 16), jnp.int32)
+
+    positive, negative = net.apply_with_inbatch_negatives(
+        params, users, items, num_negatives=2)
+    np.testing.assert_allclose(np.asarray(positive),
+                               np.asarray(net.apply(params, users, items)),
+                               rtol=1e-6)
+    for shift in (1, 2):
+        expected = net.apply(params, users, jnp.roll(items, shift))
+        np.testing.assert_allclose(np.asarray(negative[shift - 1]),
+                                   np.asarray(expected), rtol=1e-6,
+                                   atol=1e-6)
+
+
+def test_sequence_inbatch_matches_rolled_ids(random_state):
+    net = LSTMNet(num_items=40, embedding_dim=8)
+    params = net.init(jax.random.PRNGKey(1))
+    seq = jnp.asarray(random_state.randint(1, 40, (6, 5)), jnp.int32)
+    reprs, _ = net.user_representation(params, seq)
+
+    negative = net.score_inbatch_negatives(params, reprs, seq,
+                                           num_negatives=2)
+    for shift in (1, 2):
+        expected = net.score(params, reprs, jnp.roll(seq, shift, axis=0))
+        np.testing.assert_allclose(np.asarray(negative[shift - 1]),
+                                   np.asarray(expected), rtol=1e-6,
+                                   atol=1e-6)
+
+
+@pytest.mark.parametrize('loss', ['bpr', 'adaptive_hinge'])
+def test_implicit_mf_inbatch_learns(loss):
+    """Calibrated gate: on this uniform-popularity synthetic fixture,
+    in-batch negatives reach ~0.04 MRR (uniform sampling's gate is 0.05)
+    — in-batch trades a little synthetic-fixture accuracy for ~1/3 fewer
+    HBM row touches and popularity-weighted negatives (which only pay off
+    on popularity-skewed real data; see docs/performance.md)."""
+    interactions = factorization_dataset(
+        num_users=120, num_items=90, num_interactions=6000)
+    from spotlight_tpu.data import random_train_test_split
+    from spotlight_tpu.evaluation import mrr_score
+
+    train, test = random_train_test_split(
+        interactions, random_state=np.random.RandomState(0))
+    model = ImplicitFactorizationModel(
+        loss=loss, n_iter=10, batch_size=512,
+        negative_sampling='in_batch',
+        random_state=np.random.RandomState(42))
+    model.fit(train)
+    assert mrr_score(model, test, train=train).mean() > 0.03
+
+
+@pytest.mark.parametrize('randomness, expected_mrr', [
+    (1e-3, 0.45),
+    (1e2, 0.03),
+])
+def test_sequence_inbatch_learns(randomness, expected_mrr):
+    """Learnable-vs-random contrast (the reference's gate pattern): the
+    low-entropy chain must be learned far above the near-random chain's
+    chance floor.  Calibrated at 0.45 (uniform sampling's gate is 0.61 on
+    the same fixture): in-batch negatives give up some accuracy on this
+    uniform-popularity fixture in exchange for fewer row touches."""
+    from spotlight_tpu.data import user_based_train_test_split
+    from spotlight_tpu.evaluation import sequence_mrr_score
+
+    interactions = sequential_dataset(
+        num_users=100, num_items=100, num_interactions=10000,
+        concentration_parameter=randomness, order=2, seed=42)
+    train, test = user_based_train_test_split(
+        interactions, random_state=np.random.RandomState(42))
+    train = train.to_sequence(max_sequence_length=10)
+    test = test.to_sequence(max_sequence_length=10)
+    model = ImplicitSequenceModel(
+        loss='bpr', representation='lstm', batch_size=128,
+        embedding_dim=32, learning_rate=1e-2, l2=1e-7, n_iter=25,
+        negative_sampling='in_batch',
+        random_state=np.random.RandomState(42))
+    model.fit(train)
+    assert sequence_mrr_score(model, test).mean() > expected_mrr
+
+
+def test_invalid_negative_sampling_rejected():
+    with pytest.raises(AssertionError):
+        ImplicitFactorizationModel(negative_sampling='bogus')
+    with pytest.raises(AssertionError):
+        ImplicitSequenceModel(negative_sampling='bogus')
