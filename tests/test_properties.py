@@ -92,3 +92,91 @@ def test_reciprocal_ranks_match_rankdata(seed, num_items, num_targets,
         ranks = st.rankdata(-scores[row])
         expected = (1.0 / ranks[targets[row]]).mean()
         assert abs(ours[row] - expected) < 1e-5
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    batch=hst.integers(2, 9),
+    dim=hst.sampled_from([4, 8]),
+    num_items=hst.integers(20, 90),
+    num_targets=hst.integers(1, 7),
+    tile=hst.sampled_from([16, 32]),
+    seed=hst.integers(0, 10_000),
+)
+def test_rank_counts_random_shapes(batch, dim, num_items, num_targets,
+                                   tile, seed):
+    """Streaming rank counts (interpret mode) vs a host oracle on random
+    shapes — including duplicated rows, which force exact ties."""
+    import jax.numpy as jnp
+    from spotlight_tpu.ops.kernels.ranking import rank_counts
+
+    rs = np.random.RandomState(seed)
+    users = jnp.asarray(rs.randn(batch, dim).astype(np.float32))
+    items_np = rs.randn(num_items, dim).astype(np.float32)
+    items_np[1] = items_np[0]  # guaranteed exact tie pair
+    items = jnp.asarray(items_np)
+    bias_np = rs.randn(num_items).astype(np.float32)
+    bias_np[1] = bias_np[0]
+    bias = jnp.asarray(bias_np)
+    tids = jnp.asarray(rs.randint(0, num_items,
+                                  (batch, num_targets)).astype(np.int32))
+
+    scores = np.asarray(users @ items.T + bias[None])
+    tscores = jnp.asarray(
+        np.take_along_axis(scores, np.asarray(tids), axis=1))
+
+    greater, equal = rank_counts(users, items, bias, tscores, tids,
+                                 tile_items=tile, interpret=True)
+    for b in range(batch):
+        for t in range(num_targets):
+            tid = int(tids[b, t])
+            ts = scores[b, tid]
+            others = np.arange(num_items) != tid
+            assert greater[b, t] == (scores[b, others] > ts).sum()
+            assert equal[b, t] == (scores[b, others] == ts).sum()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    batch=hst.integers(2, 7),
+    num_items=hst.integers(20, 70),
+    mixtures=hst.integers(1, 4),
+    num_targets=hst.integers(1, 5),
+    seed=hst.integers(0, 10_000),
+)
+def test_mixture_candidate_scores_match_tiles(batch, num_items, mixtures,
+                                              num_targets, seed):
+    """matched_candidate_scores must be bit-identical to the rank kernel's
+    tile scores for the same (item, user) pair under mixture scoring: a
+    target's `equal` count against a duplicated row is exactly 1."""
+    import jax.numpy as jnp
+    from spotlight_tpu.ops.kernels.ranking import (
+        make_mixture_score_fn, matched_candidate_scores, rank_counts)
+
+    dim = 4
+    rs = np.random.RandomState(seed)
+    users = jnp.asarray(
+        rs.randn(batch, 2 * mixtures * dim).astype(np.float32))
+    items_np = rs.randn(num_items, dim).astype(np.float32)
+    items_np[1] = items_np[0]
+    items = jnp.asarray(items_np)
+    bias_np = rs.randn(num_items).astype(np.float32)
+    bias_np[1] = bias_np[0]
+    bias = jnp.asarray(bias_np)
+
+    score_fn = make_mixture_score_fn(mixtures, dim)
+    # Targets include the duplicated pair plus random ids.
+    tids_np = rs.randint(0, num_items, (batch, num_targets))
+    tids_np[:, 0] = 0
+    tids = jnp.asarray(tids_np.astype(np.int32))
+
+    tscores = matched_candidate_scores(users, items, bias, tids, score_fn,
+                                       interpret=True)
+    greater, equal = rank_counts(users, items, bias, tscores, tids,
+                                 tile_items=16, interpret=True,
+                                 score_fn=score_fn)
+    # Item 0's duplicate (item 1) ties bit-exactly: equal count >= 1.
+    assert (np.asarray(equal)[:, 0] >= 1).all()
+    # Sanity: greater+equal never exceeds the catalog minus the target.
+    total = np.asarray(greater) + np.asarray(equal)
+    assert (total <= num_items - 1).all()
