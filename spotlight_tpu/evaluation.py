@@ -540,7 +540,8 @@ def _precision_recall_from_scores(scores, targets, target_mask, k_values):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('k_max', 'fetch', 'interpret'))
+                   static_argnames=('k_max', 'fetch', 'interpret',
+                                    'mixture'))
 def _streaming_topk_device(reprs, item_matrix, item_bias, train_rows,
                            k_max, fetch, interpret=False, mixture=None):
     """Whole per-batch streaming top-k (+ train-mask compaction) as ONE

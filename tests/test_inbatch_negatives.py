@@ -107,3 +107,40 @@ def test_invalid_negative_sampling_rejected():
         ImplicitFactorizationModel(negative_sampling='bogus')
     with pytest.raises(AssertionError):
         ImplicitSequenceModel(negative_sampling='bogus')
+
+
+def test_inbatch_mixture_smoke():
+    """Mixture scoring of rolled target rows (inherited _score_vectors)."""
+    from spotlight_tpu.data.interactions import SequenceInteractions
+
+    rs = np.random.RandomState(3)
+    seqs = rs.randint(1, 60, size=(128, 8)).astype(np.int32)
+    data = SequenceInteractions(seqs, num_items=60)
+    model = ImplicitSequenceModel(
+        loss='bpr', representation='mixture', embedding_dim=16, n_iter=2,
+        batch_size=64, negative_sampling='in_batch',
+        random_state=np.random.RandomState(0))
+    model.fit(data)
+    assert np.isfinite(model._last_epoch_loss)
+
+
+def test_inbatch_on_mesh_smoke():
+    """In-batch negatives roll within each data shard's batch slice and
+    train under the distributed engine."""
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+    from spotlight_tpu.data import Interactions
+    from spotlight_tpu.parallel import make_mesh
+
+    rs = np.random.RandomState(4)
+    n = 1024
+    inter = Interactions(rs.randint(0, 60, n).astype(np.int32),
+                         rs.randint(0, 90, n).astype(np.int32),
+                         num_users=60, num_items=90)
+    model = ImplicitFactorizationModel(
+        loss='bpr', embedding_dim=16, n_iter=2, batch_size=128,
+        mesh=make_mesh(data=2, model=4), negative_sampling='in_batch',
+        random_state=np.random.RandomState(0))
+    model.fit(inter)
+    assert np.isfinite(model._last_epoch_loss)
+    assert model.predict(0).shape == (90,)

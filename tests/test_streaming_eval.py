@@ -176,9 +176,17 @@ def test_streaming_mixture_mrr_exclude_preceding_matches(fitted_mixture):
 
 
 def test_streaming_mixture_precision_recall_matches(fitted_mixture):
-    from spotlight_tpu.evaluation import sequence_precision_recall_score
+    from spotlight_tpu.evaluation import (_streaming_topk_hits,
+                                          sequence_precision_recall_score)
 
     sequences, model = fitted_mixture
+    # The streaming top-k path must actually engage (a silent except-based
+    # fallback would make this test compare materialize vs materialize).
+    hits = _streaming_topk_hits(model, 'sequences',
+                                sequences.sequences[:4, :-4], 4,
+                                interpret=True)
+    assert hits is not None and hits.shape == (4, 4)
+
     p_std, r_std = sequence_precision_recall_score(model, sequences, k=4,
                                                    streaming=False)
     p_str, r_str = sequence_precision_recall_score(model, sequences, k=4,
