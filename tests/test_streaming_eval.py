@@ -161,6 +161,17 @@ def test_streaming_mixture_mrr_matches(fitted_mixture):
     sequences, model = fitted_mixture
     factors = model._rank_factors_sequences(sequences.sequences[:4, :-1])
     assert len(factors) == 4 and factors[3] == model._net.num_mixtures
+
+    # The streaming path must actually engage (the except-based fallback
+    # would otherwise compare materialize against materialize).
+    from spotlight_tpu.evaluation import _streaming_ranks
+    prefixes = sequences.sequences[:4, :-1]
+    targets = sequences.sequences[:4, -1:].astype(np.int64)
+    rr = _streaming_ranks(model, 'sequences', prefixes, targets,
+                          np.ones_like(targets, dtype=bool),
+                          interpret=True)
+    assert rr is not None and rr.shape == (4,)
+
     standard = sequence_mrr_score(model, sequences, streaming=False)
     streamed = sequence_mrr_score(model, sequences, streaming=True)
     np.testing.assert_allclose(streamed, standard, rtol=1e-4, atol=1e-6)
