@@ -51,3 +51,62 @@ def sample_items_device(key, num_items, shape):
     jnp.ndarray of int32
     """
     return jax.random.randint(key, shape, 0, num_items, dtype=jnp.int32)
+
+
+def inbatch_importance_weights(item_ids, num_items, padding_idx=None):
+    """Per-interaction importance weights for in-batch negatives.
+
+    In-batch negatives are drawn from the empirical item distribution
+    ``q(j) = count(j) / n``; left uncorrected, ranking losses then learn
+    to *demote* popular items — catastrophic on popularity-skewed data
+    (measured: test MRR 0.007 vs 0.103 on the Zipf-popularity Amazon-like
+    fixture, `scripts/inbatch_negatives_study.py`).  Weighting each pair
+    by ``uniform(j) / q(j)`` makes the expected gradient equal the
+    uniform-negative objective's (importance sampling; cf. the logQ
+    correction of sampled-softmax systems), while the negatives keep
+    costing zero extra HBM row touches.
+
+    Weights are normalized so ``E_{j~q}[w] = 1`` (the effective learning
+    rate is unchanged): ``w(j) = n_distinct_denominator / count(j)`` with
+    the denominator chosen over the items that actually occur.
+
+    Parameters
+    ----------
+    item_ids : int array (any shape) — the training items (the in-batch
+        negative pool); entries equal to ``padding_idx`` get weight 0
+        (a padding row must not act as a negative).
+    num_items : int
+
+    Returns
+    -------
+    float32 array shaped like ``item_ids``.
+    """
+    weights = inbatch_importance_weight_table(item_ids, num_items,
+                                              padding_idx=padding_idx)
+    flat = np.asarray(item_ids).reshape(-1)
+    out = weights[flat]
+    return out.reshape(np.asarray(item_ids).shape).astype(np.float32)
+
+
+def inbatch_importance_weight_table(item_ids, num_items, padding_idx=None):
+    """The per-item weight table behind
+    :func:`inbatch_importance_weights`: ``w(j) = n / (distinct * count(j))``
+    for items occurring in ``item_ids``, 0 otherwise (and 0 at
+    ``padding_idx``).  The estimators ship this small ``(num_items,)``
+    table to the device and derive the per-interaction column with one
+    on-device gather — the column itself never crosses the host-to-device
+    link.
+    """
+    flat = np.asarray(item_ids).reshape(-1)
+    valid = np.ones(flat.shape, dtype=bool)
+    if padding_idx is not None:
+        valid = flat != padding_idx
+    counts = np.bincount(flat[valid], minlength=num_items)
+    if padding_idx is not None:
+        counts[padding_idx] = 0
+    distinct = int((counts > 0).sum())
+    n = int(valid.sum())
+    weights = np.zeros(num_items, dtype=np.float32)
+    occupied = counts > 0
+    weights[occupied] = n / (max(distinct, 1) * counts[occupied])
+    return weights

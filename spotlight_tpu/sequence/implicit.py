@@ -70,11 +70,12 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
     negative_sampling : str, 'uniform' (default) or 'in_batch'
         'uniform' draws negatives uniformly over the catalog on device
         (reference semantics).  'in_batch' scores each timestep against
-        the same timestep's target in other batch rows (circular shift):
-        negatives then follow the empirical item-popularity distribution,
-        and training touches ~1/3 fewer random HBM rows — negative rows
-        are never gathered or scattered separately
-        (docs/performance.md "In-batch negatives").
+        the same timestep's target in other batch rows (circular shift),
+        so negative rows are never gathered or scattered separately; each
+        pair is importance-weighted back to the uniform objective
+        (docs/performance.md "In-batch negatives").  Net throughput is a
+        few percent over uniform at realistic epoch counts (a per-fit
+        weight-column build amortizes across epochs).
     """
 
     def __init__(self,
@@ -228,9 +229,20 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
             positive = net.score(params, user_representations, sequences)
 
             if in_batch:
+                n_neg = num_negatives if adaptive else 1
                 negative = net.score_inbatch_negatives(
                     params, user_representations, sequences,
-                    num_negatives=(num_negatives if adaptive else 1))
+                    num_negatives=n_neg)
+                weight = batch['negative_weight']
+                if adaptive:
+                    stack = jnp.stack(
+                        [jnp.roll(weight, s, axis=0)
+                         for s in range(1, n_neg + 1)], axis=0)
+                    hardest = jnp.argmax(negative, axis=0)
+                    pair_weight = jnp.take_along_axis(
+                        stack, hardest[None], axis=0)[0]
+                else:
+                    pair_weight = jnp.roll(weight, 1, axis=0)
             elif adaptive:
                 negative_items = sample_items_device(
                     key, num_items,
@@ -247,7 +259,10 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
 
             mask = ((sequences != PADDING_IDX) &
                     (batch['mask'][:, None] > 0))
-            return loss_func(positive, negative, reduce=False), mask
+            elems = loss_func(positive, negative, reduce=False)
+            if in_batch:
+                elems = elems * pair_weight
+            return elems, mask
 
         epoch_fn = training.build_epoch_fn(
             elems_fn, optimizer, num_batches, batch_size,
@@ -274,9 +289,21 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
 
         n = len(sequences)
         padded, num_batches = training.pad_to_batches(n, self._batch_size)
-        data = training.place_data({
-            'sequences': training.pad_array(sequences, padded),
-        }, self._mesh)
+        arrays = {'sequences': training.pad_array(sequences, padded)}
+        if self._negative_sampling == 'in_batch':
+            # Importance weights correcting in-batch negatives back to the
+            # uniform objective; PAD positions (and padded rows, which are
+            # all-PAD) weigh 0.  Only the (num_items,) table crosses the
+            # host-to-device link; the (rows, T) column is one on-device
+            # gather.
+            from spotlight_tpu.ops.sampling import (
+                inbatch_importance_weight_table)
+            arrays['_weight_table'] = inbatch_importance_weight_table(
+                sequences, self._num_items, padding_idx=PADDING_IDX)
+        data = training.place_data(arrays, self._mesh)
+        if self._negative_sampling == 'in_batch':
+            table_dev = data.pop('_weight_table')
+            data['negative_weight'] = table_dev[data['sequences']]
 
         epoch_fn = self._epoch_fn(num_batches)
         drain = training.EpochLossDrain(verbose)

@@ -121,8 +121,15 @@ def test_rank_counts_random_shapes(batch, dim, num_items, num_targets,
     tids = jnp.asarray(rs.randint(0, num_items,
                                   (batch, num_targets)).astype(np.int32))
 
-    scores = np.asarray(users @ items.T + bias[None])
-    tscores = jnp.asarray(
+    # Oracle scores in the kernel's item-major MXU orientation: the
+    # batch-major `users @ items.T` differs by 1 ulp on some entries,
+    # which flips == into > exactly on the forced tie pair (the reason
+    # production target scores go through matched_target_scores).
+    from spotlight_tpu.ops.kernels.ranking import matched_target_scores
+    scores = np.asarray(jnp.dot(items, users.T) + bias[:, None]).T
+    tscores = matched_target_scores(users, items, bias, tids)
+    np.testing.assert_array_equal(
+        np.asarray(tscores),
         np.take_along_axis(scores, np.asarray(tids), axis=1))
 
     greater, equal = rank_counts(users, items, bias, tscores, tids,
