@@ -144,3 +144,24 @@ def test_inbatch_on_mesh_smoke():
     model.fit(inter)
     assert np.isfinite(model._last_epoch_loss)
     assert model.predict(0).shape == (90,)
+
+
+def test_inbatch_bloom_smoke():
+    """Bloom-compressed tables select the classic layout; in-batch rolls
+    the gathered bloom rows + separate bias rows."""
+    from spotlight_tpu.data.interactions import SequenceInteractions
+    from spotlight_tpu.ops import BloomEmbedding
+
+    rs = np.random.RandomState(5)
+    seqs = rs.randint(1, 60, size=(128, 8)).astype(np.int32)
+    data = SequenceInteractions(seqs, num_items=60)
+    model = ImplicitSequenceModel(
+        loss='adaptive_hinge', embedding_dim=16, n_iter=2, batch_size=64,
+        negative_sampling='in_batch',
+        representation=LSTMNet(
+            60, 16,
+            item_embedding_layer=BloomEmbedding(60, 16,
+                                                compression_ratio=0.5)),
+        random_state=np.random.RandomState(0))
+    model.fit(data)
+    assert np.isfinite(model._last_epoch_loss)
