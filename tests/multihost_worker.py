@@ -65,6 +65,17 @@ def main():
         random_state=np.random.RandomState(42))
     model.fit(interactions)
 
+    # Sequence path too: sharded fused item table + replicated LSTM tower
+    # with cross-process gradient psum.
+    from spotlight_tpu.data.interactions import SequenceInteractions
+    from spotlight_tpu.sequence import ImplicitSequenceModel
+
+    sequences = rs.randint(1, 53, size=(128, 6)).astype(np.int32)
+    seq_model = ImplicitSequenceModel(
+        loss='bpr', representation='lstm', embedding_dim=16, n_iter=2,
+        batch_size=64, mesh=mesh, random_state=np.random.RandomState(42))
+    seq_model.fit(SequenceInteractions(sequences, num_items=53))
+
     loss = float(model._last_epoch_loss)
     print('MULTIHOST_RESULT ' + json.dumps({
         'process_id': process_id,
@@ -72,6 +83,9 @@ def main():
         'loss': loss,
         'item_table_md5': table_digest(
             model._params['item_embeddings']['weight']),
+        'seq_loss': float(seq_model._last_epoch_loss),
+        'seq_item_table_md5': table_digest(
+            seq_model._params['item_embeddings']['weight']),
     }), flush=True)
 
 

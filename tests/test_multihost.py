@@ -53,13 +53,27 @@ def _single_process_reference():
         rs.randint(0, 37, n).astype(np.int32),
         rs.randint(0, 53, n).astype(np.int32),
         num_users=37, num_items=53)
+    mesh = make_mesh(data=2, model=4)
     model = ImplicitFactorizationModel(
-        loss='bpr', embedding_dim=16, n_iter=2, batch_size=64,
-        mesh=make_mesh(data=2, model=4),
+        loss='bpr', embedding_dim=16, n_iter=2, batch_size=64, mesh=mesh,
         random_state=np.random.RandomState(42))
     model.fit(interactions)
     weight = np.asarray(model._params['item_embeddings']['weight'])
-    return model._last_epoch_loss, hashlib.md5(weight.tobytes()).hexdigest()
+
+    from spotlight_tpu.data.interactions import SequenceInteractions
+    from spotlight_tpu.sequence import ImplicitSequenceModel
+
+    sequences = rs.randint(1, 53, size=(128, 6)).astype(np.int32)
+    seq_model = ImplicitSequenceModel(
+        loss='bpr', representation='lstm', embedding_dim=16, n_iter=2,
+        batch_size=64, mesh=mesh, random_state=np.random.RandomState(42))
+    seq_model.fit(SequenceInteractions(sequences, num_items=53))
+    seq_weight = np.asarray(
+        seq_model._params['item_embeddings']['weight'])
+    return (model._last_epoch_loss,
+            hashlib.md5(weight.tobytes()).hexdigest(),
+            seq_model._last_epoch_loss,
+            hashlib.md5(seq_weight.tobytes()).hexdigest())
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
@@ -97,10 +111,14 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert set(results) == {0, 1}
     assert results[0]['is_primary'] and not results[1]['is_primary']
 
-    ref_loss, ref_digest = _single_process_reference()
+    (ref_loss, ref_digest,
+     ref_seq_loss, ref_seq_digest) = _single_process_reference()
 
     # Both processes observed the same replicated loss and table; both
-    # match the single-process run bit-for-bit.
+    # match the single-process run bit-for-bit — for the factorization
+    # AND the sequence (LSTM tower) estimators.
     for record in results.values():
         assert record['loss'] == ref_loss, (record, ref_loss)
         assert record['item_table_md5'] == ref_digest, record
+        assert record['seq_loss'] == ref_seq_loss, (record, ref_seq_loss)
+        assert record['seq_item_table_md5'] == ref_seq_digest, record
