@@ -75,6 +75,26 @@ class _FactorizationBase(SerializableEstimatorMixin):
         self._key, subkey = jax.random.split(self._key)
         return subkey
 
+    def _use_lazy_engine(self):
+        """``sparse=True`` selects the row-sparse (lazy) Adam engine —
+        the torch ``SparseAdam`` analogue (see
+        :mod:`spotlight_tpu.factorization.lazy`) — when the configuration
+        supports it: the default fused BilinearNet layout in float32, a
+        single device, uniform negative sampling, and no custom
+        optimizer.  Elsewhere ``sparse`` stays the reference-parity no-op
+        (the dense engine's scatter-adds already are "sparse gradients",
+        and below ~0.5M-row tables dense streaming is faster)."""
+        import jax.numpy as jnp
+
+        return (self._sparse
+                and isinstance(self._net, BilinearNet)
+                and self._net._fused
+                and self._net.table_dtype == jnp.float32
+                and self._mesh is None
+                and self._optimizer_func is None
+                and getattr(self, '_negative_sampling',
+                            'uniform') == 'uniform')
+
     def _initialize(self, interactions):
         self._num_users = interactions.num_users
         self._num_items = interactions.num_items
@@ -87,6 +107,7 @@ class _FactorizationBase(SerializableEstimatorMixin):
                                     self._embedding_dim,
                                     sparse=self._sparse)
 
+        self._lazy = self._use_lazy_engine()
         self._optimizer = training.make_optimizer(
             self._learning_rate, self._l2, self._optimizer_func)
 
@@ -109,7 +130,11 @@ class _FactorizationBase(SerializableEstimatorMixin):
                 self._opt_state, self._opt_specs, self._mesh)
         else:
             self._params = self._net.init(self._next_key())
-            self._opt_state = self._optimizer.init(self._params)
+            if self._lazy:
+                from spotlight_tpu.factorization.lazy import lazy_adam_init
+                self._opt_state = lazy_adam_init(self._params)
+            else:
+                self._opt_state = self._optimizer.init(self._params)
 
     def _check_input(self, user_ids, item_ids, allow_items_none=False):
         if not self._initialized:

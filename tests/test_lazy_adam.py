@@ -1,0 +1,188 @@
+"""Row-sparse (lazy) Adam engine (``sparse=True`` on the factorization
+estimators; `spotlight_tpu/factorization/lazy.py`).
+
+Unit-level: the touched-rows update must equal dense optax Adam exactly
+on the touched rows (given all-unique ids) and must sum duplicate
+occurrences the way a dense scatter-add does.  Estimator-level: the lazy
+engine clears the same statistical gates as the dense engine, resumes,
+and pickles.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from spotlight_tpu.factorization import (ExplicitFactorizationModel,
+                                         ImplicitFactorizationModel)
+from spotlight_tpu.factorization.lazy import sparse_adam_rows
+
+from tests._fixtures import factorization_dataset
+
+
+def test_sparse_adam_matches_dense_on_touched_rows(random_state):
+    """All-unique ids, step 1: the lazy update equals optax.adam's on the
+    touched rows; untouched rows (params and moments) are bit-unchanged."""
+    num_rows, width = 50, 9
+    param = jnp.asarray(random_state.randn(num_rows, width), jnp.float32)
+    mu = jnp.zeros_like(param)
+    nu = jnp.zeros_like(param)
+    ids = jnp.asarray([3, 17, 44], jnp.int32)
+    grad_rows = jnp.asarray(random_state.randn(3, width), jnp.float32)
+
+    new_p, new_mu, new_nu = sparse_adam_rows(
+        ids, param, mu, nu, grad_rows, t=1, lr=1e-2)
+
+    # Dense reference: scatter the rows into a dense gradient.
+    dense_grad = jnp.zeros_like(param).at[ids].add(grad_rows)
+    opt = optax.adam(1e-2)
+    state = opt.init(param)
+    updates, _ = opt.update(dense_grad, state, param)
+    dense_p = optax.apply_updates(param, updates)
+
+    touched = np.zeros(num_rows, bool)
+    touched[np.asarray(ids)] = True
+    np.testing.assert_allclose(np.asarray(new_p)[touched],
+                               np.asarray(dense_p)[touched],
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(new_p)[~touched],
+                                  np.asarray(param)[~touched])
+    np.testing.assert_array_equal(np.asarray(new_mu)[~touched], 0.0)
+    np.testing.assert_array_equal(np.asarray(new_nu)[~touched], 0.0)
+
+
+def test_sparse_adam_sums_duplicates(random_state):
+    """Duplicated ids accumulate like a dense scatter-add: the update for
+    the duplicated row uses the SUM of its occurrence gradients and its
+    moments update exactly once."""
+    num_rows, width = 20, 4
+    param = jnp.asarray(random_state.randn(num_rows, width), jnp.float32)
+    mu = jnp.zeros_like(param)
+    nu = jnp.zeros_like(param)
+    ids = jnp.asarray([5, 5, 5, 9], jnp.int32)
+    grad_rows = jnp.asarray(random_state.randn(4, width), jnp.float32)
+
+    new_p, new_mu, new_nu = sparse_adam_rows(
+        ids, param, mu, nu, grad_rows, t=1, lr=1e-2)
+
+    summed = np.asarray(grad_rows[:3]).sum(axis=0)
+    uniq = jnp.asarray([5, 9], jnp.int32)
+    uniq_grads = jnp.asarray(np.stack([summed, np.asarray(grad_rows[3])]))
+    ref_p, ref_mu, ref_nu = sparse_adam_rows(
+        uniq, param, mu, nu, uniq_grads, t=1, lr=1e-2)
+    np.testing.assert_allclose(np.asarray(new_p), np.asarray(ref_p),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(new_mu), np.asarray(ref_mu),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_sparse_adam_l2_once_per_row(random_state):
+    """Coupled weight decay applies once per distinct row per step, not
+    once per occurrence."""
+    num_rows, width = 10, 3
+    param = jnp.asarray(random_state.randn(num_rows, width), jnp.float32)
+    zeros = jnp.zeros_like(param)
+    grad_rows = jnp.zeros((3, width), jnp.float32)
+
+    # Zero gradients: with l2, the effective gradient is l2 * param.
+    dup_p, _, _ = sparse_adam_rows(jnp.asarray([2, 2, 2], jnp.int32),
+                                   param, zeros, zeros, grad_rows,
+                                   t=1, lr=1e-2, l2=0.1)
+    one_p, _, _ = sparse_adam_rows(jnp.asarray([2], jnp.int32),
+                                   param, zeros, zeros, grad_rows[:1],
+                                   t=1, lr=1e-2, l2=0.1)
+    np.testing.assert_allclose(np.asarray(dup_p), np.asarray(one_p),
+                               rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize('loss, n_iter, gate', [
+    ('bpr', 20, 0.05),
+    ('adaptive_hinge', 10, 0.04),  # the dense fixture gate for the
+                                   # hinge family (tests/test_ml100k_gates)
+])
+def test_lazy_implicit_learns(loss, n_iter, gate):
+    """Same gate as the dense engine, at 2x the epochs: lazy moments
+    carry less effective momentum early (untouched rows don't decay), so
+    convergence is slower per epoch — measured 0.040 @ 10 epochs /
+    0.052 @ 20 on this fixture vs dense's 0.05+ @ 10 (torch SparseAdam
+    shows the same behaviour)."""
+    from spotlight_tpu.data import random_train_test_split
+    from spotlight_tpu.evaluation import mrr_score
+
+    interactions = factorization_dataset(
+        num_users=120, num_items=90, num_interactions=6000)
+    train, test = random_train_test_split(
+        interactions, random_state=np.random.RandomState(0))
+    model = ImplicitFactorizationModel(
+        loss=loss, n_iter=n_iter, batch_size=512, sparse=True,
+        random_state=np.random.RandomState(42))
+    model.fit(train)
+    assert model._lazy
+    assert 't' in model._opt_state  # lazy optimizer state in use
+    assert mrr_score(model, test, train=train).mean() > gate
+
+
+def test_lazy_explicit_learns():
+    from spotlight_tpu.data import random_train_test_split
+    from spotlight_tpu.evaluation import rmse_score
+
+    interactions = factorization_dataset(
+        num_users=120, num_items=90, num_interactions=6000, explicit=True)
+    train, test = random_train_test_split(
+        interactions, random_state=np.random.RandomState(0))
+    model = ExplicitFactorizationModel(
+        loss='regression', n_iter=10, batch_size=512, sparse=True,
+        random_state=np.random.RandomState(42))
+    model.fit(train)
+    assert model._lazy
+    assert rmse_score(model, test) < 1.1
+
+
+def test_lazy_resume_and_pickle():
+    import pickle
+
+    from spotlight_tpu.data import random_train_test_split
+
+    interactions = factorization_dataset(
+        num_users=60, num_items=50, num_interactions=2000)
+    train, _ = random_train_test_split(
+        interactions, random_state=np.random.RandomState(0))
+    model = ImplicitFactorizationModel(
+        loss='bpr', n_iter=2, batch_size=512, sparse=True,
+        random_state=np.random.RandomState(42))
+    model.fit(train)
+    t_after = int(model._opt_state['t'])
+    model.fit(train)  # resume: step counter keeps increasing
+    assert int(model._opt_state['t']) == 2 * t_after
+
+    p = model.predict(0)
+    clone = pickle.loads(pickle.dumps(model))
+    np.testing.assert_allclose(clone.predict(0), p, rtol=1e-6)
+    clone.fit(train)  # resumes on the lazy engine after load
+    assert int(clone._opt_state['t']) == 3 * t_after
+
+
+def test_sparse_falls_back_where_unsupported():
+    """sparse=True outside the supported configuration stays the
+    reference-parity no-op (dense engine)."""
+    import jax as _jax
+
+    interactions = factorization_dataset(
+        num_users=60, num_items=50, num_interactions=1000)
+
+    if len(_jax.devices()) >= 8:
+        from spotlight_tpu.parallel import make_mesh
+        model = ImplicitFactorizationModel(
+            loss='bpr', n_iter=1, batch_size=128, sparse=True,
+            mesh=make_mesh(data=2, model=4),
+            random_state=np.random.RandomState(0))
+        model.fit(interactions)
+        assert not model._lazy
+
+    model = ImplicitFactorizationModel(
+        loss='bpr', n_iter=1, batch_size=128, sparse=True,
+        negative_sampling='in_batch',
+        random_state=np.random.RandomState(0))
+    model.fit(interactions)
+    assert not model._lazy
+    assert np.isfinite(model._last_epoch_loss)
