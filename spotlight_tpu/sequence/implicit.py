@@ -57,7 +57,16 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
     learning_rate : float, optional
     optimizer_func : optax.GradientTransformation or callable, optional
     sparse : bool
-        API parity no-op.
+        Select the row-sparse (lazy) Adam engine for the item table —
+        the torch ``SparseAdam`` analogue: table gradients are taken
+        w.r.t. the gathered rows and moments update only at touched rows,
+        so the per-step table cost is independent of the catalog size
+        (the dense engine streams the whole table per step; the dense
+        tower keeps standard Adam).  Faster above ~1M items; see
+        docs/performance.md.  Applies with the built-in representations
+        in the fused float32 layout on a single device with uniform
+        negative sampling and no custom optimizer; elsewhere it stays the
+        reference-parity no-op.
     random_state : np.random.RandomState, optional
     mesh : jax.sharding.Mesh, optional
         Train distributed: embedding tables row-shard over the mesh's
@@ -149,6 +158,22 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
         self._key, subkey = jax.random.split(self._key)
         return subkey
 
+    def _use_lazy_engine(self):
+        """``sparse=True`` selects the row-sparse (lazy) Adam engine for
+        the item table (see :mod:`spotlight_tpu.sequence.lazy`) when the
+        configuration supports it: a built-in representation in the fused
+        float32 layout, single device, uniform negative sampling, no
+        custom optimizer.  Elsewhere ``sparse`` stays the reference-parity
+        no-op (dense scatter-add gradients)."""
+        net = self._net
+        return (self._sparse
+                and hasattr(net, '_user_repr_from_emb')
+                and getattr(net, '_fused', False)
+                and getattr(net, 'table_dtype', jnp.float32) == jnp.float32
+                and self._mesh is None
+                and self._optimizer_func is None
+                and self._negative_sampling == 'uniform')
+
     def _initialize(self, interactions):
         self._num_items = interactions.num_items
 
@@ -171,6 +196,7 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
             self._learning_rate, self._l2, self._optimizer_func)
 
         if self._mesh is not None:
+            self._lazy = False
             from spotlight_tpu.parallel import sharding as psharding
             from spotlight_tpu.parallel import training as ptraining
 
@@ -189,7 +215,13 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
                 self._opt_state, self._opt_specs, self._mesh)
         else:
             self._params = self._net.init(self._next_key())
-            self._opt_state = self._optimizer.init(self._params)
+            self._lazy = self._use_lazy_engine()
+            if self._lazy:
+                from spotlight_tpu.sequence.lazy import lazy_seq_adam_init
+                self._opt_state = lazy_seq_adam_init(self._params,
+                                                     self._optimizer)
+            else:
+                self._opt_state = self._optimizer.init(self._params)
 
     def _check_input(self, item_ids):
         if not self._initialized:
@@ -208,6 +240,16 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
             return self._epoch_fn_cache[num_batches]
 
         net = self._net
+
+        if getattr(self, '_lazy', False):
+            from spotlight_tpu.sequence.lazy import build_lazy_epoch_fn
+            epoch_fn = build_lazy_epoch_fn(
+                net, self._loss, self._num_items, num_batches,
+                self._batch_size, self._learning_rate, self._l2,
+                self._num_negative_samples, self._optimizer)
+            self._epoch_fn_cache[num_batches] = epoch_fn
+            return epoch_fn
+
         loss_func = _LOSSES[self._loss]
         adaptive = self._loss == 'adaptive_hinge'
         num_negatives = self._num_negative_samples

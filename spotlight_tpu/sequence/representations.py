@@ -172,6 +172,15 @@ class _ItemRepresentationBase:
         item_emb, _ = self._item_layers()
         return item_emb.apply(params['item_embeddings'], sequences)
 
+    def user_representation(self, params, sequences):
+        """(per_step, final) representations; see the module docstring.
+
+        Split as embed + tower so engines that manage the item-table
+        gather themselves (the row-sparse engine) can call
+        :meth:`_user_repr_from_emb` on pre-gathered rows."""
+        return self._user_repr_from_emb(params,
+                                        self._embed(params, sequences))
+
     def _target_rows(self, params, targets):
         """(vectors, bias) for target item ids: one fused-row gather, or a
         factor gather + bias gather in the classic layout.  In the fused
@@ -286,8 +295,9 @@ class PoolNet(_ItemRepresentationBase):
     def init(self, key):
         return self._init_item_params(key)
 
-    def user_representation(self, params, sequences):
-        shifted = self._shifted_embeddings(params, sequences)  # (B, T+1, D)
+    def _user_repr_from_emb(self, params, emb):
+        zeros = jnp.zeros_like(emb[:, :1])
+        shifted = jnp.concatenate([zeros, emb], axis=1)  # (B, T+1, D)
         sums = jnp.cumsum(shifted, axis=1)
         counts = jnp.cumsum((shifted != 0.0).astype(shifted.dtype), axis=1)
         representations = sums / (counts + 1.0)
@@ -356,8 +366,9 @@ class LSTMNet(_ItemRepresentationBase):
                                  jnp.swapaxes(x_proj, 0, 1))
         return jnp.swapaxes(hidden, 0, 1)
 
-    def user_representation(self, params, sequences):
-        shifted = self._shifted_embeddings(params, sequences)
+    def _user_repr_from_emb(self, params, emb):
+        zeros = jnp.zeros_like(emb[:, :1])
+        shifted = jnp.concatenate([zeros, emb], axis=1)
         hidden = self._run_lstm(params, shifted)
         return hidden[:, :-1], hidden[:, -1]
 
@@ -436,8 +447,8 @@ class CNNNet(_ItemRepresentationBase):
             preferred_element_type=jnp.float32)
         return out + layer['bias']
 
-    def user_representation(self, params, sequences):
-        emb = self._embed(params, sequences)  # (B, T, D)
+    def _user_repr_from_emb(self, params, emb):
+        # emb: (B, T, D)
         kernel_widths = self._kernel_widths
         dilations = self._dilations
         layers = params['cnn_layers']
@@ -507,8 +518,9 @@ class MixtureLSTMNet(_ItemRepresentationBase):
         }
         return params
 
-    def user_representation(self, params, sequences):
-        shifted = self._shifted_embeddings(params, sequences)
+    def _user_repr_from_emb(self, params, emb):
+        zeros = jnp.zeros_like(emb[:, :1])
+        shifted = jnp.concatenate([zeros, emb], axis=1)
         hidden = LSTMNet._run_lstm(self, params, shifted)  # (B, T+1, D)
         projected = (jnp.einsum('btd,do->bto', hidden,
                                 params['projection']['weight'],

@@ -186,3 +186,62 @@ def test_sparse_falls_back_where_unsupported():
     model.fit(interactions)
     assert not model._lazy
     assert np.isfinite(model._last_epoch_loss)
+
+
+@pytest.mark.parametrize('rep', ['pooling', 'lstm', 'cnn', 'mixture'])
+def test_lazy_sequence_learns(rep):
+    """The sequence lazy engine clears the learnability contrast for every
+    representation (hybrid state: lazy item table + optax tower)."""
+    from spotlight_tpu.data import user_based_train_test_split
+    from spotlight_tpu.evaluation import sequence_mrr_score
+    from spotlight_tpu.sequence import ImplicitSequenceModel
+
+    from tests._fixtures import sequential_dataset
+
+    interactions = sequential_dataset(
+        num_users=100, num_items=100, num_interactions=10000,
+        concentration_parameter=1e-3, order=2, seed=42)
+    train, test = user_based_train_test_split(
+        interactions, random_state=np.random.RandomState(42))
+    train = train.to_sequence(max_sequence_length=10)
+    test = test.to_sequence(max_sequence_length=10)
+
+    # Per-representation hyperparameters follow the dense gates
+    # (tests/sequence/test_sequence_implicit.py): pooling needs the
+    # higher learning rate there too.
+    gates = {'pooling': 0.18, 'lstm': 0.5, 'cnn': 0.5, 'mixture': 0.3}
+    lrs = {'pooling': 1e-1, 'lstm': 1e-2, 'cnn': 1e-2, 'mixture': 1e-2}
+    model = ImplicitSequenceModel(
+        loss='bpr', representation=rep, batch_size=128, embedding_dim=32,
+        learning_rate=lrs[rep], l2=1e-7, n_iter=40, sparse=True,
+        random_state=np.random.RandomState(42))
+    model.fit(train)
+    assert model._lazy
+    assert 'tower' in model._opt_state
+    assert sequence_mrr_score(model, test).mean() > gates[rep]
+
+
+def test_lazy_sequence_resume_and_pickle():
+    import pickle
+
+    from spotlight_tpu.data.interactions import SequenceInteractions
+    from spotlight_tpu.sequence import ImplicitSequenceModel
+
+    rs = np.random.RandomState(3)
+    seqs = rs.randint(1, 60, size=(256, 8)).astype(np.int32)
+    data = SequenceInteractions(seqs, num_items=60)
+    model = ImplicitSequenceModel(
+        loss='bpr', representation='lstm', embedding_dim=16, n_iter=2,
+        batch_size=64, sparse=True,
+        random_state=np.random.RandomState(0))
+    model.fit(data)
+    assert model._lazy
+    t_after = int(model._opt_state['t'])
+    model.fit(data)
+    assert int(model._opt_state['t']) == 2 * t_after
+
+    p = model.predict(seqs[0])
+    clone = pickle.loads(pickle.dumps(model))
+    np.testing.assert_allclose(clone.predict(seqs[0]), p, rtol=1e-6)
+    clone.fit(data)
+    assert int(clone._opt_state['t']) == 3 * t_after
