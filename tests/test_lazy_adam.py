@@ -245,3 +245,20 @@ def test_lazy_sequence_resume_and_pickle():
     np.testing.assert_allclose(clone.predict(seqs[0]), p, rtol=1e-6)
     clone.fit(data)
     assert int(clone._opt_state['t']) == 3 * t_after
+
+
+def test_sparse_bf16_falls_back():
+    import jax.numpy as jnp
+
+    from spotlight_tpu.factorization import BilinearNet
+
+    interactions = factorization_dataset(
+        num_users=60, num_items=50, num_interactions=1000)
+    model = ImplicitFactorizationModel(
+        loss='bpr', n_iter=1, batch_size=128, sparse=True,
+        representation=BilinearNet(60, 50, 16,
+                                   table_dtype=jnp.bfloat16),
+        random_state=np.random.RandomState(0))
+    model.fit(interactions)
+    assert not model._lazy
+    assert np.isfinite(model._last_epoch_loss)

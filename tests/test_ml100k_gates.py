@@ -185,3 +185,11 @@ def test_inbatch_negatives_bpr_gate(split):
     in_batch = _implicit_mrr(split, 'bpr', negative_sampling='in_batch')
     # Within 25% of uniform sampling's MRR (measured comfortably closer).
     assert in_batch + EPSILON > 0.75 * uniform, (in_batch, uniform)
+
+
+def test_lazy_engine_bpr_gate(split):
+    """The row-sparse (sparse=True) engine clears the reference's own bpr
+    gate at the same epoch budget as the dense engine on the ML-100K
+    fixture (measured 0.0788 vs dense 0.0792)."""
+    mrr = _implicit_mrr(split, 'bpr', sparse=True)
+    assert mrr + EPSILON > 0.07, mrr
