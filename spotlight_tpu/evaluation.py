@@ -418,9 +418,17 @@ def mrr_score(model, test, train=None, batch_size=256, streaming=None):
                                jnp.asarray(t) >= 0)
         mrrs.append(rr)
 
-    # Single readback wave: device batches overlapped above.
-    return (np.concatenate([np.asarray(r) for r in mrrs])
-            if mrrs else np.array([]))
+    # Single readback wave: device batches overlapped above.  An
+    # execution-time kernel failure surfaces here (dispatch is async);
+    # recompute on the standard path rather than crash the metric.
+    try:
+        return (np.concatenate([np.asarray(r) for r in mrrs])
+                if mrrs else np.array([]))
+    except Exception:
+        if streaming is False:
+            raise
+        return mrr_score(model, test, train=train, batch_size=batch_size,
+                         streaming=False)
 
 
 def _sequence_final_scores(model, prefixes, exclude_preceding):
@@ -511,9 +519,16 @@ def sequence_mrr_score(model, test, exclude_preceding=False, batch_size=256,
                                jnp.ones_like(t, dtype=bool))
         mrrs.append(rr)
 
-    # Single readback wave: device batches overlapped above.
-    return (np.concatenate([np.asarray(r) for r in mrrs])
-            if mrrs else np.array([]))
+    # Single readback wave (see mrr_score for the failure contract).
+    try:
+        return (np.concatenate([np.asarray(r) for r in mrrs])
+                if mrrs else np.array([]))
+    except Exception:
+        if streaming is False:
+            raise
+        return sequence_mrr_score(model, test,
+                                  exclude_preceding=exclude_preceding,
+                                  batch_size=batch_size, streaming=False)
 
 
 def _precision_recall_from_scores(scores, targets, target_mask, k_values):
@@ -704,11 +719,18 @@ def precision_recall_score(model, test, train=None, k=10, batch_size=256,
         precisions.append(p)
         recalls.append(r)
 
-    # Single readback wave: device batches overlapped above.
-    precision = (np.concatenate([np.asarray(p) for p in precisions])
-                 if precisions else np.empty((0, 1)))
-    recall = (np.concatenate([np.asarray(r) for r in recalls])
-              if recalls else np.empty((0, 1)))
+    # Single readback wave (see mrr_score for the failure contract).
+    try:
+        precision = (np.concatenate([np.asarray(p) for p in precisions])
+                     if precisions else np.empty((0, 1)))
+        recall = (np.concatenate([np.asarray(r) for r in recalls])
+                  if recalls else np.empty((0, 1)))
+    except Exception:
+        if streaming is False:
+            raise
+        return precision_recall_score(model, test, train=train, k=k,
+                                      batch_size=batch_size,
+                                      streaming=False)
     if scalar_k:
         return precision[:, 0], recall[:, 0]
     return precision, recall
@@ -756,11 +778,18 @@ def sequence_precision_recall_score(model, test, k=10,
         precisions.append(p[:, 0])
         recalls.append(r[:, 0])
 
-    # Single readback wave: device batches overlapped above.
-    return (np.concatenate([np.asarray(p) for p in precisions])
-            if precisions else np.array([]),
-            np.concatenate([np.asarray(r) for r in recalls])
-            if recalls else np.array([]))
+    # Single readback wave (see mrr_score for the failure contract).
+    try:
+        return (np.concatenate([np.asarray(p) for p in precisions])
+                if precisions else np.array([]),
+                np.concatenate([np.asarray(r) for r in recalls])
+                if recalls else np.array([]))
+    except Exception:
+        if streaming is False:
+            raise
+        return sequence_precision_recall_score(
+            model, test, k=k, exclude_preceding=exclude_preceding,
+            batch_size=batch_size, streaming=False)
 
 
 def rmse_score(model, test):

@@ -20,7 +20,8 @@ import numpy as np
 from spotlight_tpu.factorization._base import _FactorizationBase
 from spotlight_tpu.ops.losses import (adaptive_hinge_loss, bpr_loss,
                                       hinge_loss, pointwise_loss)
-from spotlight_tpu.ops.sampling import sample_items_device
+from spotlight_tpu.ops.sampling import (inbatch_pair_weights,
+                                        sample_items_device)
 from spotlight_tpu.utils import training
 
 _LOSSES = {
@@ -72,7 +73,9 @@ class ImplicitFactorizationModel(_FactorizationBase):
         items in the same batch (circular shift), so negative rows are
         never gathered or scattered separately (~1/3 fewer random HBM row
         touches; +6% measured end-to-end).  Each pair is importance-
-        weighted back to the uniform objective — without the correction,
+        weighted back to the uniform objective (``adaptive_hinge`` uses
+        the selected hardest negative's weight — a heuristic: a max over
+        non-uniform samples has no unbiased correction) — without the correction,
         popularity-sampled negatives teach the model to demote popular
         items (measured: test MRR 0.007 vs 0.103 on a Zipf-popularity
         fixture; corrected: 0.098 — docs/performance.md
@@ -143,19 +146,9 @@ class ImplicitFactorizationModel(_FactorizationBase):
                     params, users, items, num_negatives=n_neg)
                 elems = loss_func(positive, negative, reduce=False)
                 # Importance correction toward the uniform objective
-                # (ops/sampling.inbatch_importance_weights): weight each
-                # pair by the (rolled) negative's weight — for
-                # adaptive_hinge, by the selected hardest negative's.
-                weight = batch['negative_weight']
-                if adaptive:
-                    stack = jnp.stack(
-                        [jnp.roll(weight, s, axis=0)
-                         for s in range(1, n_neg + 1)], axis=0)
-                    hardest = jnp.argmax(negative, axis=0)
-                    pair_weight = jnp.take_along_axis(
-                        stack, hardest[None], axis=0)[0]
-                else:
-                    pair_weight = jnp.roll(weight, 1, axis=0)
+                # (ops/sampling.inbatch_importance_weights).
+                pair_weight = inbatch_pair_weights(
+                    batch['negative_weight'], negative, n_neg)
                 return elems * pair_weight, batch['mask']
             shape = ((num_negatives,) + users.shape if adaptive
                      else users.shape)

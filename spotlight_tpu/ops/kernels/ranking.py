@@ -44,6 +44,29 @@ def _dot_scores(items, users_t):
     return jnp.dot(items, users_t, preferred_element_type=jnp.float32)
 
 
+def mixture_combine(tastes, attns):
+    """Softmax-weighted taste mixture from per-component score lists.
+
+    ``tastes[m]`` and ``attns[m]`` are same-shaped score arrays for
+    component m; returns ``sum_m softmax_m(attns)[m] * tastes[m]``.
+    Shared by the item-major kernel scoring (:func:`make_mixture_score_fn`)
+    and the batch-major per-shard scoring
+    (`parallel.evaluation.batch_scores`), so the two stay arithmetically
+    aligned.
+    """
+    amax = attns[0]
+    for attn in attns[1:]:
+        amax = jnp.maximum(amax, attn)
+    weights = [jnp.exp(attn - amax) for attn in attns]
+    denom = weights[0]
+    for weight in weights[1:]:
+        denom = denom + weight
+    out = weights[0] * tastes[0]
+    for weight, taste in zip(weights[1:], tastes[1:]):
+        out = out + weight * taste
+    return out / denom
+
+
 @functools.lru_cache(maxsize=None)
 def make_mixture_score_fn(num_mixtures, dim):
     """Per-tile scoring for mixture-of-tastes representations.
@@ -67,17 +90,7 @@ def make_mixture_score_fn(num_mixtures, dim):
                            preferred_element_type=jnp.float32)
             tastes.append(taste)
             attns.append(attn)
-        amax = attns[0]
-        for attn in attns[1:]:
-            amax = jnp.maximum(amax, attn)
-        weights = [jnp.exp(attn - amax) for attn in attns]
-        denom = weights[0]
-        for weight in weights[1:]:
-            denom = denom + weight
-        out = weights[0] * tastes[0]
-        for weight, taste in zip(weights[1:], tastes[1:]):
-            out = out + weight * taste
-        return out / denom
+        return mixture_combine(tastes, attns)
 
     return score
 

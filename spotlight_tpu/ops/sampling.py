@@ -110,3 +110,30 @@ def inbatch_importance_weight_table(item_ids, num_items, padding_idx=None):
     occupied = counts > 0
     weights[occupied] = n / (max(distinct, 1) * counts[occupied])
     return weights
+
+
+def inbatch_pair_weights(weight, negative_scores, num_negatives):
+    """Importance weight of each in-batch pair (shared by both implicit
+    estimators).
+
+    For a single rolled negative (``num_negatives == 1``) this is simply
+    the weight rolled by one.  For ``adaptive_hinge`` the hardest (max-
+    scoring) negative is selected per entry, so the pair is weighted by
+    the *selected* negative's weight — a WARP-style heuristic: a max over
+    non-uniform samples has no unbiased importance correction
+    (docs/performance.md "In-batch negatives").
+
+    Parameters
+    ----------
+    weight : per-example weights, shape matching one negative's scores
+    negative_scores : stacked ``(num_negatives,) + weight.shape`` scores
+        (only consulted when ``num_negatives > 1``)
+    """
+    import jax.numpy as jnp
+
+    if num_negatives == 1:
+        return jnp.roll(weight, 1, axis=0)
+    stack = jnp.stack([jnp.roll(weight, s, axis=0)
+                       for s in range(1, num_negatives + 1)], axis=0)
+    hardest = jnp.argmax(negative_scores, axis=0)
+    return jnp.take_along_axis(stack, hardest[None], axis=0)[0]

@@ -38,6 +38,8 @@ def batch_scores(users, items, bias, mixture=None):
     if not mixture:
         return jnp.dot(users, items.T,
                        preferred_element_type=jnp.float32) + bias
+    from spotlight_tpu.ops.kernels.ranking import mixture_combine
+
     dim = items.shape[1]
     tastes, attns = [], []
     for m in range(mixture):
@@ -47,17 +49,7 @@ def batch_scores(users, items, bias, mixture=None):
         lo = (mixture + m) * dim
         attns.append(jnp.dot(users[:, lo:lo + dim], items.T,
                              preferred_element_type=jnp.float32))
-    amax = attns[0]
-    for attn in attns[1:]:
-        amax = jnp.maximum(amax, attn)
-    weights = [jnp.exp(attn - amax) for attn in attns]
-    denom = weights[0]
-    for weight in weights[1:]:
-        denom = denom + weight
-    out = weights[0] * tastes[0]
-    for weight, taste in zip(weights[1:], tastes[1:]):
-        out = out + weight * taste
-    return out / denom + bias
+    return mixture_combine(tastes, attns) + bias
 
 
 def sharded_topk(mesh, user_reprs, item_matrix, item_bias, k,

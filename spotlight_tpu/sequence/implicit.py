@@ -21,7 +21,8 @@ import numpy as np
 
 from spotlight_tpu.ops.losses import (adaptive_hinge_loss, bpr_loss,
                                       hinge_loss, pointwise_loss)
-from spotlight_tpu.ops.sampling import sample_items_device
+from spotlight_tpu.ops.sampling import (inbatch_pair_weights,
+                                        sample_items_device)
 from spotlight_tpu.sequence.representations import (PADDING_IDX, CNNNet,
                                                     LSTMNet, MixtureLSTMNet,
                                                     PoolNet)
@@ -82,6 +83,8 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
         the same timestep's target in other batch rows (circular shift),
         so negative rows are never gathered or scattered separately; each
         pair is importance-weighted back to the uniform objective
+        (``adaptive_hinge``: the selected hardest negative's weight — a
+        heuristic, max has no unbiased correction)
         (docs/performance.md "In-batch negatives").  Net throughput is a
         few percent over uniform at realistic epoch counts (a per-fit
         weight-column build amortizes across epochs).
@@ -275,16 +278,8 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
                 negative = net.score_inbatch_negatives(
                     params, user_representations, sequences,
                     num_negatives=n_neg)
-                weight = batch['negative_weight']
-                if adaptive:
-                    stack = jnp.stack(
-                        [jnp.roll(weight, s, axis=0)
-                         for s in range(1, n_neg + 1)], axis=0)
-                    hardest = jnp.argmax(negative, axis=0)
-                    pair_weight = jnp.take_along_axis(
-                        stack, hardest[None], axis=0)[0]
-                else:
-                    pair_weight = jnp.roll(weight, 1, axis=0)
+                pair_weight = inbatch_pair_weights(
+                    batch['negative_weight'], negative, n_neg)
             elif adaptive:
                 negative_items = sample_items_device(
                     key, num_items,

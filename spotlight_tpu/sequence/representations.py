@@ -196,10 +196,11 @@ class _ItemRepresentationBase:
         bias = item_bias.apply(params['item_biases'], targets)[..., 0]
         return vectors, bias
 
-    def _shifted_embeddings(self, params, sequences):
-        """Embed and left-pad by one zero step: output step t sees items
-        strictly before t (reference `representations.py:100-106`)."""
-        emb = self._embed(params, sequences)
+    @staticmethod
+    def _causal_shift(emb):
+        """Left-pad the embedded sequence by one zero step: output step t
+        sees items strictly before t (the reference's pad-then-drop trick,
+        `representations.py:100-106`)."""
         zeros = jnp.zeros_like(emb[:, :1])
         return jnp.concatenate([zeros, emb], axis=1)  # (B, T+1, D)
 
@@ -296,8 +297,7 @@ class PoolNet(_ItemRepresentationBase):
         return self._init_item_params(key)
 
     def _user_repr_from_emb(self, params, emb):
-        zeros = jnp.zeros_like(emb[:, :1])
-        shifted = jnp.concatenate([zeros, emb], axis=1)  # (B, T+1, D)
+        shifted = self._causal_shift(emb)  # (B, T+1, D)
         sums = jnp.cumsum(shifted, axis=1)
         counts = jnp.cumsum((shifted != 0.0).astype(shifted.dtype), axis=1)
         representations = sums / (counts + 1.0)
@@ -367,8 +367,7 @@ class LSTMNet(_ItemRepresentationBase):
         return jnp.swapaxes(hidden, 0, 1)
 
     def _user_repr_from_emb(self, params, emb):
-        zeros = jnp.zeros_like(emb[:, :1])
-        shifted = jnp.concatenate([zeros, emb], axis=1)
+        shifted = self._causal_shift(emb)
         hidden = self._run_lstm(params, shifted)
         return hidden[:, :-1], hidden[:, -1]
 
@@ -519,8 +518,7 @@ class MixtureLSTMNet(_ItemRepresentationBase):
         return params
 
     def _user_repr_from_emb(self, params, emb):
-        zeros = jnp.zeros_like(emb[:, :1])
-        shifted = jnp.concatenate([zeros, emb], axis=1)
+        shifted = self._causal_shift(emb)
         hidden = LSTMNet._run_lstm(self, params, shifted)  # (B, T+1, D)
         projected = (jnp.einsum('btd,do->bto', hidden,
                                 params['projection']['weight'],
