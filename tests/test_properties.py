@@ -111,20 +111,25 @@ def test_rank_counts_random_shapes(batch, dim, num_items, num_targets,
     from spotlight_tpu.ops.kernels.ranking import rank_counts
 
     rs = np.random.RandomState(seed)
-    users = jnp.asarray(rs.randn(batch, dim).astype(np.float32))
-    items_np = rs.randn(num_items, dim).astype(np.float32)
-    items_np[1] = items_np[0]  # guaranteed exact tie pair
+    # Small-integer values: every dot product is exactly representable in
+    # float32 under ANY summation order, so the oracle, the chunked
+    # matched_target_scores matmul, and the kernel's tile matmul are all
+    # bit-identical by construction.  (With random floats, XLA's
+    # shape-dependent small-matmul lowering differs by 1 ulp between the
+    # chunked and full formulations — the documented reason production
+    # pairs matched_target_scores with the kernel at matching shapes, and
+    # a false-failure source for a property test comparing across
+    # formulations.)  Ties are also plentiful with integer scores.
+    users = jnp.asarray(rs.randint(-3, 4, (batch, dim)).astype(np.float32))
+    items_np = rs.randint(-3, 4, (num_items, dim)).astype(np.float32)
+    items_np[1] = items_np[0]  # guaranteed tie pair
     items = jnp.asarray(items_np)
-    bias_np = rs.randn(num_items).astype(np.float32)
+    bias_np = rs.randint(-3, 4, num_items).astype(np.float32)
     bias_np[1] = bias_np[0]
     bias = jnp.asarray(bias_np)
     tids = jnp.asarray(rs.randint(0, num_items,
                                   (batch, num_targets)).astype(np.int32))
 
-    # Oracle scores in the kernel's item-major MXU orientation: the
-    # batch-major `users @ items.T` differs by 1 ulp on some entries,
-    # which flips == into > exactly on the forced tie pair (the reason
-    # production target scores go through matched_target_scores).
     from spotlight_tpu.ops.kernels.ranking import matched_target_scores
     scores = np.asarray(jnp.dot(items, users.T) + bias[:, None]).T
     tscores = matched_target_scores(users, items, bias, tids)
