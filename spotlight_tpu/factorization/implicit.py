@@ -21,7 +21,8 @@ from spotlight_tpu.factorization._base import _FactorizationBase
 from spotlight_tpu.ops.losses import (adaptive_hinge_loss, bpr_loss,
                                       hinge_loss, pointwise_loss)
 from spotlight_tpu.ops.sampling import (inbatch_pair_weights,
-                                        sample_items_device)
+                                        sample_items_device,
+                                        weighted_inbatch_elems)
 from spotlight_tpu.utils import training
 
 _LOSSES = {
@@ -149,7 +150,9 @@ class ImplicitFactorizationModel(_FactorizationBase):
                 # (ops/sampling.inbatch_importance_weights).
                 pair_weight = inbatch_pair_weights(
                     batch['negative_weight'], negative, n_neg)
-                return elems * pair_weight, batch['mask']
+                elems = weighted_inbatch_elems(self._loss, elems, negative,
+                                               pair_weight)
+                return elems, batch['mask']
             shape = ((num_negatives,) + users.shape if adaptive
                      else users.shape)
             negative_items = sample_items_device(key, num_items, shape)

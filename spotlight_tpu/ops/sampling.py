@@ -112,6 +112,35 @@ def inbatch_importance_weight_table(item_ids, num_items, padding_idx=None):
     return weights
 
 
+def weighted_inbatch_elems(loss, elems, negative_scores, pair_weight):
+    """Apply the in-batch importance weight to elementwise loss values.
+
+    For the pairwise losses (``bpr``, ``hinge``, ``adaptive_hinge``) the
+    whole per-pair term depends on the sampled negative, so the full
+    elementwise loss is weighted.  For ``pointwise`` only the negative
+    term ``sigmoid(neg)`` is drawn from the in-batch distribution; the
+    positive term ``1 - sigmoid(pos)`` must not carry the neighbour's
+    weight (weighting it stays unbiased — ``E_q[w] = 1`` and the weight is
+    independent of the positive — but adds variance; this is the exact
+    correction).
+
+    Parameters
+    ----------
+    loss : str — the loss name
+    elems : elementwise loss values from the loss function
+    negative_scores : the negative predictions the loss consumed (only
+        consulted for ``pointwise``; for ``adaptive_hinge`` pass the
+        already-selected hardest negative or rely on the pairwise branch)
+    pair_weight : per-element weights from :func:`inbatch_pair_weights`
+    """
+    import jax
+
+    if loss == 'pointwise':
+        neg_elems = jax.nn.sigmoid(negative_scores)
+        return (elems - neg_elems) + pair_weight * neg_elems
+    return elems * pair_weight
+
+
 def inbatch_pair_weights(weight, negative_scores, num_negatives):
     """Importance weight of each in-batch pair (shared by both implicit
     estimators).

@@ -22,6 +22,7 @@ import numpy as np
 from spotlight_tpu.ops.losses import (adaptive_hinge_loss, bpr_loss,
                                       hinge_loss, pointwise_loss)
 from spotlight_tpu.ops.sampling import (inbatch_pair_weights,
+                                        weighted_inbatch_elems,
                                         sample_items_device)
 from spotlight_tpu.sequence.representations import (PADDING_IDX, CNNNet,
                                                     LSTMNet, MixtureLSTMNet,
@@ -298,7 +299,8 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
                     (batch['mask'][:, None] > 0))
             elems = loss_func(positive, negative, reduce=False)
             if in_batch:
-                elems = elems * pair_weight
+                elems = weighted_inbatch_elems(self._loss, elems, negative,
+                                               pair_weight)
             return elems, mask
 
         epoch_fn = training.build_epoch_fn(

@@ -30,6 +30,7 @@ from spotlight_tpu.ops.lazy_adam import sparse_adam_rows
 from spotlight_tpu.ops.losses import (adaptive_hinge_loss, bpr_loss,
                                       hinge_loss, pointwise_loss)
 from spotlight_tpu.ops.sampling import sample_items_device
+from spotlight_tpu.sequence.representations import PADDING_IDX
 from spotlight_tpu.utils.training import shuffle_and_batch
 
 _LOSSES = {
@@ -38,8 +39,6 @@ _LOSSES = {
     'hinge': hinge_loss,
     'adaptive_hinge': adaptive_hinge_loss,
 }
-
-PADDING_IDX = 0
 
 
 def _split_params(params):
@@ -61,9 +60,14 @@ def lazy_seq_adam_init(params, tower_optimizer):
 
 
 def _masked_rows(table, ids):
-    """Gather fused rows with the padding semantics of
-    ``_masked_gather``: id 0 contributes a zero row and receives no
-    gradient (zero rows produce zero cotangents)."""
+    """Gather fused rows with the read-side padding semantics of
+    ``_masked_gather``: id 0 contributes a zero row.
+
+    The mask sits *outside* ``jax.grad`` (the engine differentiates with
+    respect to these already-masked rows), so cotangents at PAD positions
+    are generally nonzero; the epoch step keeps the table's padding row
+    frozen by dropping PAD ids before :func:`sparse_adam_rows` (matching
+    the dense engine, where the in-grad mask zeroes those cotangents)."""
     rows = table[ids]
     return jnp.where((ids == PADDING_IDX)[..., None],
                      jnp.zeros((), rows.dtype), rows)
@@ -120,6 +124,11 @@ def build_lazy_epoch_fn(net, loss, num_items, num_batches, batch_size,
 
             ids = jnp.concatenate(
                 [sequences.reshape(-1), negatives.reshape(-1)])
+            # The padding row stays frozen (torch padding_idx semantics):
+            # _masked_rows masks reads outside jax.grad, so PAD positions
+            # carry nonzero cotangents — route their ids to the
+            # out-of-bounds drop sentinel instead of row 0.
+            ids = jnp.where(ids == PADDING_IDX, table.shape[0], ids)
             grad_rows = jnp.concatenate(
                 [g_pos.reshape(-1, dim + 1),
                  g_neg.reshape(-1, dim + 1)])

@@ -51,6 +51,42 @@ def test_sequence_inbatch_matches_rolled_ids(random_state):
                                    atol=1e-6)
 
 
+def test_weighted_inbatch_elems_pointwise_weights_negative_term_only():
+    """For pointwise the importance weight applies to the sampled
+    (negative) sigmoid term only; pairwise losses weight the whole pair
+    term (round-2 advisor finding)."""
+    from spotlight_tpu.ops.losses import bpr_loss, pointwise_loss
+    from spotlight_tpu.ops.sampling import weighted_inbatch_elems
+
+    rs = np.random.RandomState(7)
+    pos = jnp.asarray(rs.randn(16), jnp.float32)
+    neg = jnp.asarray(rs.randn(16), jnp.float32)
+    w = jnp.asarray(rs.rand(16).astype(np.float32) + 0.5)
+
+    elems = pointwise_loss(pos, neg, reduce=False)
+    weighted = weighted_inbatch_elems('pointwise', elems, neg, w)
+    expected = (1.0 - jax.nn.sigmoid(pos)) + w * jax.nn.sigmoid(neg)
+    np.testing.assert_allclose(np.asarray(weighted), np.asarray(expected),
+                               rtol=1e-6, atol=1e-7)
+
+    elems = bpr_loss(pos, neg, reduce=False)
+    weighted = weighted_inbatch_elems('bpr', elems, neg, w)
+    np.testing.assert_allclose(np.asarray(weighted),
+                               np.asarray(elems * w), rtol=1e-6)
+
+
+def test_pointwise_inbatch_trains():
+    """End-to-end: the split-term pointwise weighting trains finitely."""
+    interactions = factorization_dataset(
+        num_users=60, num_items=50, num_interactions=1500)
+    model = ImplicitFactorizationModel(
+        loss='pointwise', n_iter=2, batch_size=128,
+        negative_sampling='in_batch',
+        random_state=np.random.RandomState(0))
+    model.fit(interactions)
+    assert np.isfinite(model._last_epoch_loss)
+
+
 @pytest.mark.parametrize('loss', ['bpr', 'adaptive_hinge'])
 def test_implicit_mf_inbatch_learns(loss):
     """Calibrated gate: on this uniform-popularity synthetic fixture,

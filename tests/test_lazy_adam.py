@@ -247,6 +247,35 @@ def test_lazy_sequence_resume_and_pickle():
     assert int(clone._opt_state['t']) == 3 * t_after
 
 
+def test_lazy_sequence_padding_row_stays_frozen():
+    """The table's padding row (id 0) must stay exactly zero after lazy
+    training: _masked_rows masks reads outside jax.grad, so PAD positions
+    carry nonzero cotangents and the engine must drop them before the
+    sparse update (torch padding_idx / dense-engine parity)."""
+    from spotlight_tpu.data.interactions import SequenceInteractions
+    from spotlight_tpu.sequence import ImplicitSequenceModel
+    from spotlight_tpu.sequence.representations import PADDING_IDX
+
+    rs = np.random.RandomState(5)
+    seqs = rs.randint(1, 40, size=(128, 8)).astype(np.int32)
+    seqs[:, :3] = PADDING_IDX  # every row carries PAD positions
+    data = SequenceInteractions(seqs, num_items=40)
+
+    model = ImplicitSequenceModel(
+        loss='bpr', representation='lstm', embedding_dim=16, n_iter=2,
+        batch_size=64, sparse=True, random_state=np.random.RandomState(0))
+    model.fit(data)
+    assert model._lazy
+
+    weight = np.asarray(model._params['item_embeddings']['weight'])
+    np.testing.assert_array_equal(weight[PADDING_IDX], 0.0)
+    moments = model._opt_state['table']
+    np.testing.assert_array_equal(
+        np.asarray(moments['mu'])[PADDING_IDX], 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(moments['nu'])[PADDING_IDX], 0.0)
+
+
 def test_sparse_bf16_falls_back():
     import jax.numpy as jnp
 

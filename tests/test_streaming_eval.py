@@ -112,6 +112,39 @@ def test_streaming_sequence_precision_recall_matches(fitted_sequence):
     np.testing.assert_allclose(r_str, r_std, rtol=1e-6)
 
 
+def test_streaming_paths_do_not_fall_back(fitted_factorization):
+    """The production shapes must stay on the kernel path: the fallback
+    counter stays flat across a full streaming evaluation."""
+    from spotlight_tpu import evaluation
+
+    train, test, model = fitted_factorization
+    before = dict(evaluation.FALLBACK_COUNTS)
+    mrr_score(model, test, train=train, streaming=True)
+    from spotlight_tpu.evaluation import precision_recall_score
+    precision_recall_score(model, test, train=train, k=10, streaming=True)
+    assert dict(evaluation.FALLBACK_COUNTS) == before
+
+
+def test_streaming_fallback_warns(fitted_factorization, monkeypatch):
+    """A streaming-path failure recomputes on the standard path AND emits
+    a RuntimeWarning + counter increment (never silent; round-2 VERDICT
+    item 7 / advisor finding)."""
+    from spotlight_tpu import evaluation
+
+    train, test, model = fitted_factorization
+
+    def boom(*args, **kwargs):
+        raise RuntimeError('injected Mosaic failure')
+
+    monkeypatch.setattr(evaluation, '_streaming_ranks_device', boom)
+    before = evaluation.FALLBACK_COUNTS['_streaming_ranks']
+    with pytest.warns(RuntimeWarning, match='fell back'):
+        result = mrr_score(model, test, train=train, streaming=True)
+    assert evaluation.FALLBACK_COUNTS['_streaming_ranks'] > before
+    standard = mrr_score(model, test, train=train, streaming=False)
+    np.testing.assert_allclose(result, standard, rtol=1e-6)
+
+
 def test_streaming_mrr_on_mesh_matches():
     """With mesh-sharded tables, the streaming path routes through the
     sharded rank-count collective and still matches the standard path."""
