@@ -185,7 +185,8 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
         return _streaming_ranks_sharded(
             mesh, reprs, item_matrix, item_bias,
             jnp.asarray(targets, dtype=jnp.int32),
-            jnp.asarray(target_mask), train_rows, mixture=mixture)
+            jnp.asarray(target_mask), train_rows, mixture=mixture,
+            interpret=interpret)
 
     try:
         rr = _streaming_ranks_device(
@@ -207,45 +208,21 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
     return rr
 
 
-def _candidate_scores_global(reprs, item_matrix, item_bias, candidates,
-                             mixture, chunk=64):
-    """(B, T) candidate scores at the global (unsharded) view.
-
-    Dot scoring routes through ``matched_target_scores`` (MXU-matmul
-    arithmetic); mixture scoring through the same batch-major formula the
-    per-shard counting uses (`parallel.evaluation.batch_scores`), keeping
-    the arithmetic aligned with the sharded tile scores up to the 1-ulp
-    shard-boundary jitter the mesh tests already tolerate."""
-    from spotlight_tpu.ops.kernels.ranking import matched_target_scores
-    from spotlight_tpu.parallel.evaluation import batch_scores
-
-    if not mixture:
-        return matched_target_scores(reprs, item_matrix, item_bias,
-                                     candidates)
-    batch = reprs.shape[0]
-    lane = jnp.arange(batch)
-    parts = []
-    for start in range(0, candidates.shape[1], chunk):
-        stop = min(start + chunk, candidates.shape[1])
-        tgt = jax.lax.slice_in_dim(candidates, start, stop, axis=1)
-        flat = tgt.reshape(-1)
-        allp = batch_scores(reprs, item_matrix[flat], item_bias[flat],
-                            mixture)                     # (B, B*C)
-        allp = allp.reshape(batch, batch, stop - start)  # [user, row_b, c]
-        parts.append(allp[lane, lane, :])
-    return jnp.concatenate(parts, axis=1)
-
-
 def _streaming_ranks_sharded(mesh, reprs, item_matrix, item_bias, targets,
-                             target_mask, train_rows, mixture=None):
-    """Mesh-sharded tables: count per shard against resident rows and psum
-    (parallel/evaluation.py) instead of a single-device Pallas launch."""
-    from spotlight_tpu.parallel.evaluation import sharded_rank_counts
+                             target_mask, train_rows, mixture=None,
+                             interpret=False):
+    """Mesh-sharded tables: run the Pallas rank-count kernel per shard on
+    the resident rows and psum the counts (parallel/evaluation.py) instead
+    of a single-device launch.  Target/train scores come from the owning
+    shard through the same kernel arithmetic
+    (`parallel.evaluation.sharded_candidate_scores`), so tie comparisons
+    stay exact — per-item scores are identical to the single-device
+    streaming path (the D contraction is never split by row sharding)."""
+    from spotlight_tpu.parallel.evaluation import (sharded_candidate_scores,
+                                                   sharded_rank_counts)
 
     num_items = item_matrix.shape[0]
     safe_targets = jnp.clip(targets, 0, num_items - 1)
-    target_scores = _candidate_scores_global(reprs, item_matrix, item_bias,
-                                             safe_targets, mixture)
 
     shards = mesh.shape['model']
     pad = -num_items % shards
@@ -257,17 +234,20 @@ def _streaming_ranks_sharded(mesh, reprs, item_matrix, item_bias, targets,
              jnp.zeros((pad, item_matrix.shape[1]), item_matrix.dtype)])
         item_bias = jnp.concatenate(
             [item_bias, jnp.full((pad,), -FLOAT_MAX, item_bias.dtype)])
+    target_scores = sharded_candidate_scores(
+        mesh, reprs, item_matrix, item_bias, safe_targets, mixture=mixture,
+        interpret=interpret)
     greater, equal = sharded_rank_counts(
         mesh, reprs, item_matrix, item_bias, target_scores, safe_targets,
-        mixture=mixture)
+        mixture=mixture, interpret=interpret)
 
     if train_rows is not None:
         train_rows = jnp.asarray(train_rows, dtype=jnp.int32)
         valid_train = train_rows >= 0
         safe_train = jnp.clip(train_rows, 0, num_items - 1)
-        train_scores = _candidate_scores_global(
-            reprs, item_matrix[:num_items], item_bias[:num_items],
-            safe_train, mixture)
+        train_scores = sharded_candidate_scores(
+            mesh, reprs, item_matrix, item_bias, safe_train,
+            mixture=mixture, interpret=interpret)
         chunk = 32
         num_t = safe_targets.shape[1]
         tr_greater_parts, tr_equal_parts, in_train_parts = [], [], []
@@ -661,7 +641,8 @@ def _streaming_topk_hits(model, kind, inputs, k_max, train_rows=None,
                 [item_bias, jnp.full((pad,), -FLOAT_MAX,
                                      item_bias.dtype)])
         _, top_ids = sharded_topk(mesh, reprs, item_matrix, item_bias,
-                                  fetch, mixture=mixture)
+                                  fetch, mixture=mixture,
+                                  interpret=interpret)
         if train_rows is None:
             return top_ids
         train = jnp.asarray(train_rows, dtype=jnp.int32)

@@ -99,6 +99,7 @@ def sharded_topk(mesh, user_reprs, item_matrix, item_bias, k,
     """
     num_shards = mesh.shape[axis]
     local_rows = item_matrix.shape[0] // num_shards
+    interpret = interpret or jax.default_backend() == 'cpu'
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -169,6 +170,7 @@ def sharded_rank_counts(mesh, user_reprs, item_matrix, item_bias,
     """
     num_shards = mesh.shape[axis]
     local_rows = item_matrix.shape[0] // num_shards
+    interpret = interpret or jax.default_backend() == 'cpu'
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -249,6 +251,7 @@ def sharded_candidate_scores(mesh, user_reprs, item_matrix, item_bias,
     num_shards = mesh.shape[axis]
     local_rows = item_matrix.shape[0] // num_shards
     score_fn = _score_fn_for(mixture, item_matrix.shape[1])
+    interpret = interpret or jax.default_backend() == 'cpu'
 
     @functools.partial(
         shard_map, mesh=mesh,

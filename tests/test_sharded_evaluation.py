@@ -48,6 +48,97 @@ def test_sharded_topk_tie_order():
                                   np.tile(np.arange(5), (2, 1)))
 
 
+def test_sharded_topk_streaming_matches_xla_path(problem):
+    """The per-shard Pallas streaming top-k (the production mesh path)
+    returns exactly the ids of the plain-XLA per-shard oracle and of
+    lax.top_k on the dense matrix (round-3 VERDICT item 1)."""
+    users, items, bias = problem
+    mesh = make_mesh(data=2, model=4)
+
+    scores = users @ items.T + bias[None, :]
+    _, ref_idx = jax.lax.top_k(scores, 10)
+
+    oracle_s, oracle_idx = sharded_topk(mesh, users, items, bias, k=10,
+                                        streaming=False)
+    got_s, got_idx = sharded_topk(mesh, users, items, bias, k=10,
+                                  streaming=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(ref_idx))
+    np.testing.assert_array_equal(np.asarray(got_idx),
+                                  np.asarray(oracle_idx))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(oracle_s),
+                               atol=1e-5)
+
+
+def test_sharded_rank_counts_streaming_exact(problem, random_state):
+    """Per-shard Pallas rank counting + psum returns bit-identical integer
+    counts to the single-device kernel: the target scores come from the
+    owning shard's kernel arithmetic, and row sharding never splits the D
+    contraction."""
+    from spotlight_tpu.ops.kernels.ranking import (matched_target_scores,
+                                                   rank_counts)
+    from spotlight_tpu.parallel.evaluation import sharded_candidate_scores
+
+    users, items, bias = problem
+    mesh = make_mesh(data=2, model=4)
+
+    T = 6
+    tids = jnp.asarray(
+        random_state.randint(0, items.shape[0], (users.shape[0], T)),
+        dtype=jnp.int32)
+
+    # Matched target scores: sharded (owning-shard kernel + psum) must
+    # equal the single-device kernel-matched computation exactly.
+    sharded_ts = sharded_candidate_scores(mesh, users, items, bias, tids,
+                                          interpret=True)
+    single_ts = matched_target_scores(users, items, bias, tids)
+    np.testing.assert_array_equal(np.asarray(sharded_ts),
+                                  np.asarray(single_ts))
+
+    g_sharded, e_sharded = sharded_rank_counts(
+        mesh, users, items, bias, sharded_ts, tids,
+        streaming=True, interpret=True)
+    g_single, e_single = rank_counts(users, items, bias, single_ts, tids,
+                                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(g_sharded),
+                                  np.asarray(g_single))
+    np.testing.assert_array_equal(np.asarray(e_sharded),
+                                  np.asarray(e_single))
+
+    # And against the plain-XLA per-shard oracle (no exact ties in this
+    # random fixture, so arithmetic layout cannot shift any count).
+    g_oracle, e_oracle = sharded_rank_counts(
+        mesh, users, items, bias, sharded_ts, tids, streaming=False)
+    np.testing.assert_array_equal(np.asarray(g_sharded),
+                                  np.asarray(g_oracle))
+    np.testing.assert_array_equal(np.asarray(e_sharded),
+                                  np.asarray(e_oracle))
+
+
+def test_sharded_rank_counts_streaming_tie_exact():
+    """Duplicated item rows tie bit-exactly across shard boundaries:
+    average-rank counts must see the duplicate wherever it lives."""
+    from spotlight_tpu.parallel.evaluation import sharded_candidate_scores
+
+    rs = np.random.RandomState(2)
+    users = jnp.asarray(rs.randn(8, 16), jnp.float32)
+    items_np = rs.randn(512, 16).astype(np.float32)
+    items_np[400] = items_np[7]  # duplicate across shards (shard 0 / 3)
+    bias_np = rs.randn(512).astype(np.float32)
+    bias_np[400] = bias_np[7]
+    items = jnp.asarray(items_np)
+    bias = jnp.asarray(bias_np)
+    mesh = make_mesh(data=2, model=4)
+
+    tids = jnp.full((8, 4), 7, jnp.int32)
+    ts = sharded_candidate_scores(mesh, users, items, bias, tids,
+                                  interpret=True)
+    greater, equal = sharded_rank_counts(mesh, users, items, bias, ts,
+                                         tids, streaming=True,
+                                         interpret=True)
+    # Exactly one other row (the duplicate) ties with the target.
+    np.testing.assert_array_equal(np.asarray(equal), 1.0)
+
+
 def test_sharded_rank_counts_match_dense(problem, random_state):
     users, items, bias = problem
     mesh = make_mesh(data=2, model=4)
