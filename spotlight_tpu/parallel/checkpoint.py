@@ -58,6 +58,15 @@ def restore_state(path, model):
     shardings, and optimizer exist); array values are replaced with the
     checkpointed ones, placed according to the model's current shardings —
     which may differ from the shardings at save time (reshard-on-restore).
+
+    Cross-layout restores are supported even when the *padded* table
+    shapes differ (padding depends on the model-axis shard count): an
+    8-shard checkpoint loads onto 4-shard, 2-shard, 1-device, and
+    unsharded layouts and vice versa.  Leading-dimension differences are
+    reconciled by stripping / re-applying shard padding — provably exact,
+    because block sharding keeps real rows at ``[0, num_embeddings)`` in
+    every layout and padding rows are all-zero (verified before any row is
+    dropped).  Any other shape difference raises.
     """
     import orbax.checkpoint as ocp
 
@@ -74,18 +83,84 @@ def restore_state(path, model):
         return ocp.RestoreArgs()
 
     args = jax.tree_util.tree_map(restore_args, template)
-    try:
+    if _shapes_match(path, template):
         restored = _checkpointer().restore(
             path, item=template, restore_args=args)
-    except ValueError as error:
-        # Table padding depends on the shard count, so checkpoints only
-        # restore onto layouts with identical global shapes.
-        raise ValueError(
-            'Checkpoint shape mismatch (table padding depends on the shard '
-            'count; restore onto a mesh whose model-axis size yields the '
-            'same padded table sizes): {}'.format(error)) from error
+    else:
+        # Shape mismatch (table padding depends on the shard count):
+        # reconcile the layouts leaf by leaf.  Detected from metadata up
+        # front — orbax's direct restore does not validate stored shapes
+        # against the template and would happily hand back a
+        # differently-padded table.
+        restored = _restore_cross_layout(path, template)
 
     model._params = restored['params']
     model._opt_state = restored['opt_state']
     model._key = jax.numpy.asarray(np.asarray(restored['key']))
     return model
+
+
+def _shapes_match(path, template):
+    """True when every checkpoint leaf's stored shape equals the model's."""
+    import orbax.checkpoint as ocp
+
+    meta_tree = _checkpointer().metadata(path).item_metadata.tree
+    meta_on_template = ocp.tree.deserialize_tree(meta_tree, target=template)
+    metas = jax.tree_util.tree_leaves(meta_on_template)
+    leaves = jax.tree_util.tree_leaves(template)
+    return all(tuple(meta.shape) == tuple(leaf.shape)
+               for meta, leaf in zip(metas, leaves))
+
+
+def _restore_cross_layout(path, template):
+    """Restore a checkpoint whose padded table shapes differ from the
+    model's.
+
+    The checkpoint is read to host numpy (topology-independent), mapped
+    back onto the template's tree structure by name
+    (``orbax.checkpoint.tree.deserialize_tree``), and each leaf's leading
+    dimension is sliced or zero-padded to the template's.  Dropped rows
+    must be exactly zero — real rows always occupy ``[0, num_embeddings)``
+    under block sharding, and shard-padding rows are zero-initialized and
+    receive no updates (zero gradients keep Adam deltas at exactly zero) —
+    so a non-zero dropped row means the checkpoint genuinely does not fit
+    and raises instead of silently truncating state.
+    """
+    import orbax.checkpoint as ocp
+
+    checkpointer = _checkpointer()
+    meta_tree = checkpointer.metadata(path).item_metadata.tree
+    as_numpy = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree)
+    raw = checkpointer.restore(path, restore_args=as_numpy)
+    loaded = ocp.tree.deserialize_tree(raw, target=template)
+
+    def adapt(value, like):
+        value = np.asarray(value)
+        like_shape = tuple(like.shape)
+        if value.shape != like_shape:
+            if (value.ndim != like.ndim or value.ndim < 1
+                    or value.shape[1:] != like_shape[1:]):
+                raise ValueError(
+                    'Checkpoint leaf of shape {} cannot be adapted to {}: '
+                    'only leading-dimension (shard padding) differences '
+                    'are reconcilable.'.format(value.shape, like_shape))
+            rows = like_shape[0]
+            if value.shape[0] > rows:
+                dropped = value[rows:]
+                if np.any(dropped):
+                    raise ValueError(
+                        'Cross-layout restore would drop non-zero rows '
+                        '({} -> {}): the checkpoint holds more real rows '
+                        'than the model.'.format(value.shape, like_shape))
+                value = value[:rows]
+            else:
+                value = np.concatenate(
+                    [value, np.zeros((rows - value.shape[0],)
+                                     + value.shape[1:], value.dtype)])
+        value = value.astype(like.dtype)
+        if isinstance(like, jax.Array) and hasattr(like, 'sharding'):
+            return jax.device_put(value, like.sharding)
+        return jnp.asarray(value)
+
+    return jax.tree_util.tree_map(adapt, loaded, template)

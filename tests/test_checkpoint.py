@@ -98,20 +98,86 @@ def test_cross_layout_restore(tmp_path):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
-def test_mismatched_layout_raises(tmp_path):
-    """Restoring across layouts with different padded table shapes raises a
-    clear error instead of silently corrupting state."""
-    train, _ = _data()  # 150 users: pads to 152 on a 4-shard model axis
+def test_cross_layout_restore_mismatched_padding(tmp_path):
+    """Padded table shapes that differ across layouts are reconciled by
+    stripping/re-applying shard padding (round-3 VERDICT item 4): a
+    single-device checkpoint (150 users, unpadded) restores onto a 4-shard
+    mesh (pads to 152) with identical metrics, and the mesh checkpoint
+    restores back onto a fresh single-device model and a 2-shard mesh."""
+    train, test = _data()  # 150 users: pads to 152 on a 4-shard model axis
     single = ImplicitFactorizationModel(
         loss='bpr', n_iter=2, batch_size=512,
         random_state=np.random.RandomState(42))
     single.fit(train)
+    mrr_single = mrr_score(single, test)
     path = checkpoint.save_state(str(tmp_path / 'ckpt'), single)
 
+    # single (unpadded) -> 4-shard mesh (padded): zero rows appended.
     mesh = make_mesh(data=2, model=4)
     sharded = ImplicitFactorizationModel(
         loss='bpr', n_iter=2, batch_size=512, mesh=mesh,
         random_state=np.random.RandomState(7))
     sharded._initialize(train)
-    with pytest.raises(ValueError, match='shape mismatch'):
-        checkpoint.restore_state(path, sharded)
+    checkpoint.restore_state(path, sharded)
+    np.testing.assert_array_equal(
+        np.asarray(sharded._params['user_embeddings']['weight'])[:150],
+        np.asarray(single._params['user_embeddings']['weight']))
+    np.testing.assert_allclose(mrr_score(sharded, test, streaming=False),
+                               mrr_single, rtol=1e-6)
+    sharded.fit(train)  # resumes on the mesh engine from restored moments
+
+    # 4-shard mesh (padded) -> fresh single device (unpadded): padding
+    # rows stripped; and -> 2-shard mesh (different padding: 150 per
+    # shard).
+    sharded_path = checkpoint.save_state(str(tmp_path / 'ckpt2'), sharded)
+    back = ImplicitFactorizationModel(
+        loss='bpr', n_iter=2, batch_size=512,
+        random_state=np.random.RandomState(11))
+    back._initialize(train)
+    checkpoint.restore_state(sharded_path, back)
+    np.testing.assert_array_equal(
+        np.asarray(back._params['user_embeddings']['weight']),
+        np.asarray(sharded._params['user_embeddings']['weight'])[:150])
+    np.testing.assert_allclose(mrr_score(back, test, streaming=False),
+                               mrr_score(sharded, test, streaming=False),
+                               rtol=1e-6)
+
+    halved = ImplicitFactorizationModel(
+        loss='bpr', n_iter=2, batch_size=512,
+        mesh=make_mesh(data=4, model=2),
+        random_state=np.random.RandomState(13))
+    halved._initialize(train)
+    checkpoint.restore_state(sharded_path, halved)
+    np.testing.assert_allclose(mrr_score(halved, test, streaming=False),
+                               mrr_score(sharded, test, streaming=False),
+                               rtol=1e-6)
+
+
+def test_incompatible_checkpoint_raises(tmp_path):
+    """Only leading-dimension (shard padding) differences reconcile; a
+    different embedding width raises, and dropping real (non-zero) rows
+    raises instead of silently truncating."""
+    train, _ = _data()
+    model = ImplicitFactorizationModel(
+        loss='bpr', n_iter=1, batch_size=512, embedding_dim=32,
+        random_state=np.random.RandomState(42))
+    model.fit(train)
+    path = checkpoint.save_state(str(tmp_path / 'ckpt'), model)
+
+    widened = ImplicitFactorizationModel(
+        loss='bpr', n_iter=1, batch_size=512, embedding_dim=48,
+        random_state=np.random.RandomState(7))
+    widened._initialize(train)
+    with pytest.raises(ValueError, match='cannot be adapted'):
+        checkpoint.restore_state(path, widened)
+
+    # A model with fewer real rows than the checkpoint: the dropped rows
+    # are real (non-zero) data, so the restore must refuse.
+    smaller_data = factorization_dataset(
+        num_users=100, num_items=120, num_interactions=4000)
+    smaller = ImplicitFactorizationModel(
+        loss='bpr', n_iter=1, batch_size=512, embedding_dim=32,
+        random_state=np.random.RandomState(7))
+    smaller._initialize(smaller_data)
+    with pytest.raises(ValueError, match='non-zero rows'):
+        checkpoint.restore_state(path, smaller)
