@@ -75,25 +75,44 @@ class _FactorizationBase(SerializableEstimatorMixin):
         self._key, subkey = jax.random.split(self._key)
         return subkey
 
+    def _lazy_fallback_reason(self):
+        """Why ``sparse=True`` cannot use the lazy engine here, or None."""
+        if not (isinstance(self._net, BilinearNet) and self._net._fused):
+            return ('it requires the default fused BilinearNet layout '
+                    '(custom representations / injected embedding layers '
+                    'use the dense engine)')
+        if self._optimizer_func is not None:
+            return ('a custom optimizer_func is set (row-sparse lazy Adam '
+                    'IS the optimizer)')
+        if self._mesh is not None and self._exchange != 'psum':
+            return ("mesh training uses exchange='{}' (only the default "
+                    "'psum' exchange composes with the lazy engine)"
+                    .format(self._exchange))
+        return None
+
     def _use_lazy_engine(self):
         """``sparse=True`` selects the row-sparse (lazy) Adam engine —
         the torch ``SparseAdam`` analogue (see
-        :mod:`spotlight_tpu.factorization.lazy`) — when the configuration
-        supports it: the default fused BilinearNet layout in float32, a
-        single device, uniform negative sampling, and no custom
-        optimizer.  Elsewhere ``sparse`` stays the reference-parity no-op
-        (the dense engine's scatter-adds already are "sparse gradients",
-        and below ~0.5M-row tables dense streaming is faster)."""
-        import jax.numpy as jnp
+        :mod:`spotlight_tpu.factorization.lazy`).  It composes with
+        ``table_dtype=bfloat16``, ``negative_sampling='in_batch'``, and
+        ``mesh=`` (psum exchange); where a configuration cannot use it
+        (custom representation/optimizer, all-to-all exchanges), ``sparse``
+        stays the reference-parity no-op (the dense engine's scatter-adds
+        already are "sparse gradients", and below ~0.5M-row tables dense
+        streaming is faster) — with a loud warning, never silently."""
+        import warnings
 
-        return (self._sparse
-                and isinstance(self._net, BilinearNet)
-                and self._net._fused
-                and self._net.table_dtype == jnp.float32
-                and self._mesh is None
-                and self._optimizer_func is None
-                and getattr(self, '_negative_sampling',
-                            'uniform') == 'uniform')
+        if not self._sparse:
+            return False
+        reason = self._lazy_fallback_reason()
+        if reason is not None:
+            warnings.warn(
+                'sparse=True falls back to the dense engine because {} — '
+                'training remains correct; above ~0.5M-row tables the '
+                'lazy engine would be faster.'.format(reason),
+                RuntimeWarning, stacklevel=3)
+            return False
+        return True
 
     def _initialize(self, interactions):
         self._num_users = interactions.num_users
@@ -123,9 +142,15 @@ class _FactorizationBase(SerializableEstimatorMixin):
             self._params = psharding.shard_params(
                 self._net.init(self._next_key()), self._param_specs,
                 self._mesh)
-            self._opt_state = self._optimizer.init(self._params)
-            self._opt_specs = ptraining.opt_specs_like(
-                self._opt_state, self._params, self._param_specs)
+            if self._lazy:
+                from spotlight_tpu.factorization.lazy import (lazy_adam_init,
+                                                              lazy_opt_specs)
+                self._opt_state = lazy_adam_init(self._params)
+                self._opt_specs = lazy_opt_specs(self._param_specs)
+            else:
+                self._opt_state = self._optimizer.init(self._params)
+                self._opt_specs = ptraining.opt_specs_like(
+                    self._opt_state, self._params, self._param_specs)
             self._opt_state = psharding.shard_params(
                 self._opt_state, self._opt_specs, self._mesh)
         else:

@@ -54,10 +54,13 @@ class ImplicitFactorizationModel(_FactorizationBase):
         update only at the touched rows, so the per-step cost is
         independent of table size (the dense engine streams whole tables
         per step).  Faster above ~0.5M table rows; untouched rows'
-        moments do not decay (documented SparseAdam semantics).  Applies
-        with the default fused float32 layout on a single device with
-        uniform negative sampling and no custom optimizer; elsewhere it
-        stays the reference-parity no-op (dense scatter-add gradients).
+        moments do not decay (documented SparseAdam semantics).  Composes
+        with ``table_dtype=bfloat16`` (f32 moments/update math),
+        ``negative_sampling='in_batch'``, and ``mesh=`` (psum exchange;
+        sharded moments, bit-identical to the single-device engine).
+        Requires the default fused BilinearNet layout and no custom
+        optimizer; elsewhere it stays the reference-parity no-op (dense
+        scatter-add gradients) with a RuntimeWarning.
     random_state : np.random.RandomState, optional
     mesh : jax.sharding.Mesh, optional
         Train distributed: embedding tables row-shard over the mesh's
@@ -121,7 +124,9 @@ class ImplicitFactorizationModel(_FactorizationBase):
             epoch_fn = build_lazy_epoch_fn(
                 net, self._loss, self._num_items, num_batches,
                 self._batch_size, self._learning_rate, self._l2,
-                self._num_negative_samples)
+                self._num_negative_samples,
+                negative_sampling=self._negative_sampling,
+                mesh=self._mesh, param_specs=self._param_specs)
             self._epoch_fn_cache[num_batches] = epoch_fn
             return epoch_fn
 

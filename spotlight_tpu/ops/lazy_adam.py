@@ -13,10 +13,17 @@ import jax.numpy as jnp
 
 def lazy_adam_init(params):
     """Optimizer state: dense-shaped moments (allocated once, touched
-    sparsely) plus the global step counter."""
-    zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
-    return {'mu': zeros,
-            'nu': jax.tree_util.tree_map(jnp.zeros_like, params),
+    sparsely) plus the global step counter.
+
+    Moments are always float32 — with ``table_dtype=bfloat16`` parameters
+    the moment accumulators keep full precision (the separate-arrays
+    layout makes mixed precision free; the update math runs in float32
+    and only the final delta is cast to the table dtype)."""
+    def zeros32(param):
+        return jnp.zeros(param.shape, jnp.float32)
+
+    return {'mu': jax.tree_util.tree_map(zeros32, params),
+            'nu': jax.tree_util.tree_map(zeros32, params),
             't': jnp.zeros((), jnp.int32)}
 
 
@@ -54,9 +61,12 @@ def sparse_adam_rows(ids, param, mu, nu, grad_rows, t, lr, l2=0.0,
     uids = jnp.where(valid, uids, num_rows)  # out-of-bounds -> drop/fill
 
     summed = jax.ops.segment_sum(flat_grads[order], seg, num_segments=n)
+    # Update math runs in the moments' dtype (float32 even for bfloat16
+    # tables); only the final delta is cast to the table's storage dtype.
+    summed = summed.astype(mu.dtype)
     if l2:
         rows = param.at[uids].get(mode='fill', fill_value=0)
-        summed = summed + l2 * rows * valid[:, None]
+        summed = summed + l2 * rows.astype(summed.dtype) * valid[:, None]
 
     m0 = mu.at[uids].get(mode='fill', fill_value=0)
     v0 = nu.at[uids].get(mode='fill', fill_value=0)
@@ -65,7 +75,7 @@ def sparse_adam_rows(ids, param, mu, nu, grad_rows, t, lr, l2=0.0,
     m_hat = m / (1 - b1 ** t)
     v_hat = v / (1 - b2 ** t)
     delta = -lr * m_hat / (jnp.sqrt(v_hat) + eps)
-    param = param.at[uids].add(delta, mode='drop')
+    param = param.at[uids].add(delta.astype(param.dtype), mode='drop')
     mu = mu.at[uids].set(m, mode='drop')
     nu = nu.at[uids].set(v, mode='drop')
     return param, mu, nu

@@ -65,10 +65,12 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
         so the per-step table cost is independent of the catalog size
         (the dense engine streams the whole table per step; the dense
         tower keeps standard Adam).  Faster above ~1M items; see
-        docs/performance.md.  Applies with the built-in representations
-        in the fused float32 layout on a single device with uniform
-        negative sampling and no custom optimizer; elsewhere it stays the
-        reference-parity no-op.
+        docs/performance.md.  Composes with ``table_dtype=bfloat16``
+        (f32 moments/update math), ``negative_sampling='in_batch'``, and
+        ``mesh=`` (psum exchange; sharded table moments).  Requires a
+        built-in representation in the fused layout and no custom
+        optimizer; elsewhere it stays the reference-parity no-op with a
+        RuntimeWarning.
     random_state : np.random.RandomState, optional
     mesh : jax.sharding.Mesh, optional
         Train distributed: embedding tables row-shard over the mesh's
@@ -162,21 +164,43 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
         self._key, subkey = jax.random.split(self._key)
         return subkey
 
+    def _lazy_fallback_reason(self):
+        """Why ``sparse=True`` cannot use the lazy engine here, or None."""
+        net = self._net
+        if not (hasattr(net, '_user_repr_from_emb')
+                and getattr(net, '_fused', False)):
+            return ('it requires a built-in representation with the fused '
+                    'table layout')
+        if self._optimizer_func is not None:
+            return ('a custom optimizer_func is set (row-sparse lazy Adam '
+                    'IS the item-table optimizer)')
+        if self._mesh is not None and self._exchange != 'psum':
+            return ("mesh training uses exchange='{}' (only the default "
+                    "'psum' exchange composes with the lazy engine)"
+                    .format(self._exchange))
+        return None
+
     def _use_lazy_engine(self):
         """``sparse=True`` selects the row-sparse (lazy) Adam engine for
-        the item table (see :mod:`spotlight_tpu.sequence.lazy`) when the
-        configuration supports it: a built-in representation in the fused
-        float32 layout, single device, uniform negative sampling, no
-        custom optimizer.  Elsewhere ``sparse`` stays the reference-parity
-        no-op (dense scatter-add gradients)."""
-        net = self._net
-        return (self._sparse
-                and hasattr(net, '_user_repr_from_emb')
-                and getattr(net, '_fused', False)
-                and getattr(net, 'table_dtype', jnp.float32) == jnp.float32
-                and self._mesh is None
-                and self._optimizer_func is None
-                and self._negative_sampling == 'uniform')
+        the item table (see :mod:`spotlight_tpu.sequence.lazy`).  It
+        composes with ``table_dtype=bfloat16``,
+        ``negative_sampling='in_batch'``, and ``mesh=`` (psum exchange);
+        where a configuration cannot use it, ``sparse`` stays the
+        reference-parity no-op (dense scatter-add gradients) — with a loud
+        warning, never silently."""
+        import warnings
+
+        if not self._sparse:
+            return False
+        reason = self._lazy_fallback_reason()
+        if reason is not None:
+            warnings.warn(
+                'sparse=True falls back to the dense engine because {} — '
+                'training remains correct; above ~1M-item catalogs the '
+                'lazy engine would be faster.'.format(reason),
+                RuntimeWarning, stacklevel=3)
+            return False
+        return True
 
     def _initialize(self, interactions):
         self._num_items = interactions.num_items
@@ -200,7 +224,7 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
             self._learning_rate, self._l2, self._optimizer_func)
 
         if self._mesh is not None:
-            self._lazy = False
+            self._lazy = self._use_lazy_engine()
             from spotlight_tpu.parallel import sharding as psharding
             from spotlight_tpu.parallel import training as ptraining
 
@@ -212,9 +236,17 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
             self._params = psharding.shard_params(
                 self._net.init(self._next_key()), self._param_specs,
                 self._mesh)
-            self._opt_state = self._optimizer.init(self._params)
-            self._opt_specs = ptraining.opt_specs_like(
-                self._opt_state, self._params, self._param_specs)
+            if self._lazy:
+                from spotlight_tpu.sequence.lazy import (lazy_seq_adam_init,
+                                                         lazy_seq_opt_specs)
+                self._opt_state = lazy_seq_adam_init(self._params,
+                                                     self._optimizer)
+                self._opt_specs = lazy_seq_opt_specs(
+                    self._opt_state, self._params, self._param_specs)
+            else:
+                self._opt_state = self._optimizer.init(self._params)
+                self._opt_specs = ptraining.opt_specs_like(
+                    self._opt_state, self._params, self._param_specs)
             self._opt_state = psharding.shard_params(
                 self._opt_state, self._opt_specs, self._mesh)
         else:
@@ -250,7 +282,9 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
             epoch_fn = build_lazy_epoch_fn(
                 net, self._loss, self._num_items, num_batches,
                 self._batch_size, self._learning_rate, self._l2,
-                self._num_negative_samples, self._optimizer)
+                self._num_negative_samples, self._optimizer,
+                negative_sampling=self._negative_sampling,
+                mesh=self._mesh, param_specs=self._param_specs)
             self._epoch_fn_cache[num_batches] = epoch_fn
             return epoch_fn
 

@@ -153,6 +153,32 @@ def test_cross_layout_restore_mismatched_padding(tmp_path):
                                rtol=1e-6)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
+def test_lazy_mesh_checkpoint_cross_layout(tmp_path):
+    """The lazy (sparse=True) engine's hybrid optimizer state checkpoints
+    from a mesh and restores onto a single device (and resumes there)."""
+    train, test = _data()
+    mesh = make_mesh(data=2, model=4)
+    model = ImplicitFactorizationModel(
+        loss='bpr', n_iter=2, batch_size=512, sparse=True, mesh=mesh,
+        random_state=np.random.RandomState(42))
+    model.fit(train)
+    assert model._lazy
+    path = checkpoint.save_state(str(tmp_path / 'ckpt'), model)
+
+    single = ImplicitFactorizationModel(
+        loss='bpr', n_iter=2, batch_size=512, sparse=True,
+        random_state=np.random.RandomState(7))
+    single._initialize(train)
+    checkpoint.restore_state(path, single)
+    assert int(np.asarray(single._opt_state['t'])) == int(
+        np.asarray(model._opt_state['t']))
+    np.testing.assert_allclose(mrr_score(single, test, streaming=False),
+                               mrr_score(model, test, streaming=False),
+                               rtol=1e-6)
+    single.fit(train)  # resumes on the lazy engine from restored moments
+
+
 def test_incompatible_checkpoint_raises(tmp_path):
     """Only leading-dimension (shard padding) differences reconcile; a
     different embedding width raises, and dropping real (non-zero) rows
