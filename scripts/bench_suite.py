@@ -1,10 +1,12 @@
 """Reproducible benchmark suite: every headline number in one run.
 
-Run on the default (TPU) platform; prints one JSON line per measurement.
-``bench.py`` remains the driver-facing single-line benchmark; this suite
-regenerates the full docs/performance.md table.
+Run on the default (TPU) platform; prints one JSON line per measurement
+and (with ``--output FILE``) writes the whole suite as one JSON artifact
+— committed per round as ``bench_suite_r{N}.json`` so regressions in any
+headline number show up in review, not just the driver's single-line
+``bench.py`` metric (round-3 VERDICT item 6).
 
-    python scripts/bench_suite.py [--quick]
+    python scripts/bench_suite.py [--quick] [--output FILE]
 """
 
 import json
@@ -19,10 +21,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 
 QUICK = '--quick' in sys.argv
 
+RECORDS = []
+
 
 def emit(name, value, unit, **extra):
-    print(json.dumps(dict(metric=name, value=round(value, 2), unit=unit,
-                          **extra)), flush=True)
+    record = dict(metric=name, value=round(value, 2), unit=unit, **extra)
+    RECORDS.append(record)
+    print(json.dumps(record), flush=True)
+
+
+def _readback(x):
+    """Force a data-dependent device-to-host sync (block_until_ready has
+    been observed returning early through the dev tunnel)."""
+    return float(np.asarray(x).ravel()[0])
 
 
 def bench_implicit_mf():
@@ -51,6 +62,58 @@ def bench_implicit_mf():
     return model, interactions
 
 
+def bench_lazy_knobs():
+    """The composed perf knobs at a large-table config (the lazy engine's
+    home regime): dense vs sparse=True vs each stacked knob.  Pinned by
+    round-3 VERDICT item 3: the knobs must stack, and the combination
+    must beat each knob alone at scale."""
+    import jax.numpy as jnp
+
+    from spotlight_tpu.data import Interactions
+    from spotlight_tpu.factorization import (BilinearNet,
+                                             ImplicitFactorizationModel)
+
+    rs = np.random.RandomState(42)
+    num_users = 200_000 if QUICK else 2_000_000
+    num_items = 100_000 if QUICK else 500_000
+    n = 200_000 if QUICK else 1_000_000
+    interactions = Interactions(
+        rs.randint(0, num_users, n).astype(np.int64),
+        rs.randint(0, num_items, n).astype(np.int64),
+        num_users=num_users, num_items=num_items)
+
+    configs = [
+        ('dense', dict()),
+        ('lazy', dict(sparse=True)),
+        ('lazy_bf16', dict(sparse=True, table_dtype=jnp.bfloat16)),
+        ('lazy_inbatch', dict(sparse=True,
+                              negative_sampling='in_batch')),
+        ('lazy_bf16_inbatch', dict(sparse=True,
+                                   table_dtype=jnp.bfloat16,
+                                   negative_sampling='in_batch')),
+    ]
+    for name, cfg in configs:
+        kwargs = dict(cfg)
+        table_dtype = kwargs.pop('table_dtype', None)
+        if table_dtype is not None:
+            kwargs['representation'] = BilinearNet(
+                num_users, num_items, 64, table_dtype=table_dtype)
+        model = ImplicitFactorizationModel(
+            loss='bpr', embedding_dim=64, n_iter=1, batch_size=8192,
+            random_state=np.random.RandomState(42), **kwargs)
+        model.fit(interactions)          # warm-up + compile
+        epochs = 1 if QUICK else 2
+        model._n_iter = epochs
+        start = time.perf_counter()
+        model.fit(interactions)
+        elapsed = time.perf_counter() - start
+        emit('lazy_knobs_{}'.format(name), epochs * n / elapsed,
+             'examples/s/chip',
+             config='{}x{} users x items, D=64'.format(num_users,
+                                                       num_items))
+        del model
+
+
 def bench_sequence():
     from spotlight_tpu.data.interactions import SequenceInteractions
     from spotlight_tpu.evaluation import sequence_mrr_score
@@ -76,7 +139,8 @@ def bench_sequence():
     test = SequenceInteractions(sequences[:eval_rows], num_items=20_000)
     sequence_mrr_score(model, test)      # warm-up + compile
     start = time.perf_counter()
-    sequence_mrr_score(model, test)
+    out = sequence_mrr_score(model, test)
+    _readback(out)
     elapsed = time.perf_counter() - start
     emit('lstm_catalog_eval', eval_rows * 20_000 / elapsed / 1e9,
          'G item-scores/s', users_per_s=round(eval_rows / elapsed, 1))
@@ -88,10 +152,47 @@ def bench_sequence():
     mix.fit(SequenceInteractions(sequences[:2048], num_items=20_000))
     sequence_mrr_score(mix, test)        # warm-up + compile
     start = time.perf_counter()
-    sequence_mrr_score(mix, test)
+    out = sequence_mrr_score(mix, test)
+    _readback(out)
     elapsed = time.perf_counter() - start
     emit('mixture_catalog_eval', eval_rows / elapsed, 'users/s',
          config='2048 users x 20K items, M=4')
+
+
+def bench_large_catalog_eval():
+    """End-to-end streaming MRR over a 200K-item catalog (the round-3
+    VERDICT item-8 'memory cliff' check: the score matrix for 2048 users
+    x 200K items would be 1.6 GB materialized; the streaming path never
+    builds it)."""
+    from spotlight_tpu.data import Interactions
+    from spotlight_tpu.evaluation import mrr_score
+    from spotlight_tpu.factorization import ImplicitFactorizationModel
+
+    rs = np.random.RandomState(7)
+    num_users, num_items = 50_000, 200_000
+    n = 100_000 if QUICK else 500_000
+    train = Interactions(
+        rs.randint(0, num_users, n).astype(np.int64),
+        rs.randint(0, num_items, n).astype(np.int64),
+        num_users=num_users, num_items=num_items)
+    model = ImplicitFactorizationModel(
+        loss='bpr', embedding_dim=64, n_iter=1, batch_size=8192,
+        random_state=np.random.RandomState(42))
+    model.fit(train)
+
+    eval_users = 512 if QUICK else 2048
+    test = Interactions(
+        np.repeat(np.arange(eval_users, dtype=np.int64), 4),
+        rs.randint(0, num_items, 4 * eval_users).astype(np.int64),
+        num_users=num_users, num_items=num_items)
+    mrr_score(model, test)               # warm-up + compile
+    start = time.perf_counter()
+    out = mrr_score(model, test)
+    _readback(out)
+    elapsed = time.perf_counter() - start
+    emit('large_catalog_eval', eval_users * num_items / elapsed / 1e9,
+         'G item-scores/s', users_per_s=round(eval_users / elapsed, 1),
+         config='{} users x 200K items, streaming MRR'.format(eval_users))
 
 
 def bench_rank_kernel():
@@ -112,21 +213,96 @@ def bench_rank_kernel():
         ts = jnp.einsum('bd,btd->bt', users, items[tids]) + bias[tids]
         return rank_counts(users, items, bias, ts, tids, tile_items=2048)
 
-    jax.block_until_ready(kernel_path(users, items, bias, tids))
+    _readback(kernel_path(users, items, bias, tids)[0])
     reps = 5 if QUICK else 20
     start = time.perf_counter()
     for _ in range(reps):
         out = kernel_path(users, items, bias, tids)
-    jax.block_until_ready(out)
+    _readback(out[0])
     per_call = (time.perf_counter() - start) / reps
     emit('streaming_rank_kernel', per_call * 1e3, 'ms/call',
          config='256 users x 100K items x 16 targets')
 
+    # Per-shard blocks (the mesh eval path feeds (N/S, D) slices with
+    # shifted target ids to the same kernel): 4 sequential quarter-blocks
+    # must not regress vs one full pass (round-3 VERDICT item 1's
+    # single-chip no-regression check).
+    shards = 4
+    local = N // shards
+
+    @jax.jit
+    def per_shard_path(users, items, bias, tids):
+        ts = jnp.einsum('bd,btd->bt', users, items[tids]) + bias[tids]
+        greater = jnp.zeros((B, T), jnp.float32)
+        equal = jnp.zeros((B, T), jnp.float32)
+        for s in range(shards):
+            block = jax.lax.slice_in_dim(items, s * local, (s + 1) * local)
+            bias_block = jax.lax.slice_in_dim(bias, s * local,
+                                              (s + 1) * local)
+            g, e = rank_counts(users, block, bias_block, ts,
+                               tids - s * local, tile_items=2048)
+            greater = greater + g
+            equal = equal + e
+        return greater, equal
+
+    _readback(per_shard_path(users, items, bias, tids)[0])
+    start = time.perf_counter()
+    for _ in range(reps):
+        out = per_shard_path(users, items, bias, tids)
+    _readback(out[0])
+    per_call = (time.perf_counter() - start) / reps
+    emit('streaming_rank_kernel_4blocks', per_call * 1e3, 'ms/call',
+         config='same work as streaming_rank_kernel, 4 sequential '
+                'quarter-catalog blocks (per-shard shape)')
+
+
+def bench_topk_kernel():
+    import jax
+    import jax.numpy as jnp
+
+    from spotlight_tpu.ops.kernels.topk import streaming_topk
+
+    rs = np.random.RandomState(0)
+    B, D, N = 256, 64, 100_000
+    users = jnp.asarray(rs.randn(B, D), dtype=jnp.float32)
+    items = jnp.asarray(rs.randn(N, D), dtype=jnp.float32)
+    bias = jnp.asarray(rs.randn(N), dtype=jnp.float32)
+
+    for k in (10, 128):
+        fn = jax.jit(lambda u, i, b, k=k: streaming_topk(u, i, b, k,
+                                                         tile_items=2048))
+        _readback(fn(users, items, bias)[1])
+        reps = 5 if QUICK else 20
+        start = time.perf_counter()
+        for _ in range(reps):
+            out = fn(users, items, bias)
+        _readback(out[1])
+        per_call = (time.perf_counter() - start) / reps
+        emit('streaming_topk_kernel_k{}'.format(k), per_call * 1e3,
+             'ms/call', config='256 users x 100K items')
+
 
 def main():
+    import jax
+
     bench_implicit_mf()
+    bench_lazy_knobs()
     bench_sequence()
+    bench_large_catalog_eval()
     bench_rank_kernel()
+    bench_topk_kernel()
+
+    if '--output' in sys.argv:
+        path = sys.argv[sys.argv.index('--output') + 1]
+        artifact = {
+            'backend': jax.default_backend(),
+            'device_count': jax.device_count(),
+            'quick': QUICK,
+            'records': RECORDS,
+        }
+        with open(path, 'w') as handle:
+            json.dump(artifact, handle, indent=1)
+        print('wrote', path, flush=True)
 
 
 if __name__ == '__main__':
