@@ -18,6 +18,7 @@ TPU-native scaling design that replaces it:
 from spotlight_tpu.parallel import checkpoint  # noqa: F401
 from spotlight_tpu.parallel import multihost  # noqa: F401
 from spotlight_tpu.parallel.evaluation import (  # noqa: F401
+    sharded_candidate_scores,
     sharded_rank_counts,
     sharded_topk,
 )
