@@ -76,6 +76,15 @@ def main():
         batch_size=64, mesh=mesh, random_state=np.random.RandomState(42))
     seq_model.fit(SequenceInteractions(sequences, num_items=53))
 
+    # Lazy (sparse=True) mesh engine: sharded moments, cross-process
+    # all_gather of gradient rows over the data axis, per-shard sparse
+    # Adam — the round-3 composition, under real multi-process gloo.
+    lazy_model = ImplicitFactorizationModel(
+        loss='bpr', embedding_dim=16, n_iter=2, batch_size=64, mesh=mesh,
+        sparse=True, random_state=np.random.RandomState(42))
+    lazy_model.fit(interactions)
+    assert lazy_model._lazy
+
     loss = float(model._last_epoch_loss)
     print('MULTIHOST_RESULT ' + json.dumps({
         'process_id': process_id,
@@ -86,6 +95,9 @@ def main():
         'seq_loss': float(seq_model._last_epoch_loss),
         'seq_item_table_md5': table_digest(
             seq_model._params['item_embeddings']['weight']),
+        'lazy_loss': float(lazy_model._last_epoch_loss),
+        'lazy_item_table_md5': table_digest(
+            lazy_model._params['item_embeddings']['weight']),
     }), flush=True)
 
 

@@ -70,10 +70,20 @@ def _single_process_reference():
     seq_model.fit(SequenceInteractions(sequences, num_items=53))
     seq_weight = np.asarray(
         seq_model._params['item_embeddings']['weight'])
+
+    lazy_model = ImplicitFactorizationModel(
+        loss='bpr', embedding_dim=16, n_iter=2, batch_size=64, mesh=mesh,
+        sparse=True, random_state=np.random.RandomState(42))
+    lazy_model.fit(interactions)
+    assert lazy_model._lazy
+    lazy_weight = np.asarray(
+        lazy_model._params['item_embeddings']['weight'])
     return (model._last_epoch_loss,
             hashlib.md5(weight.tobytes()).hexdigest(),
             seq_model._last_epoch_loss,
-            hashlib.md5(seq_weight.tobytes()).hexdigest())
+            hashlib.md5(seq_weight.tobytes()).hexdigest(),
+            lazy_model._last_epoch_loss,
+            hashlib.md5(lazy_weight.tobytes()).hexdigest())
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason='needs 8 devices')
@@ -112,13 +122,17 @@ def test_two_process_training_matches_single_process(tmp_path):
     assert results[0]['is_primary'] and not results[1]['is_primary']
 
     (ref_loss, ref_digest,
-     ref_seq_loss, ref_seq_digest) = _single_process_reference()
+     ref_seq_loss, ref_seq_digest,
+     ref_lazy_loss, ref_lazy_digest) = _single_process_reference()
 
     # Both processes observed the same replicated loss and table; both
-    # match the single-process run bit-for-bit — for the factorization
-    # AND the sequence (LSTM tower) estimators.
+    # match the single-process run bit-for-bit — for the factorization,
+    # the sequence (LSTM tower), AND the lazy (sparse=True) engines.
     for record in results.values():
         assert record['loss'] == ref_loss, (record, ref_loss)
         assert record['item_table_md5'] == ref_digest, record
         assert record['seq_loss'] == ref_seq_loss, (record, ref_seq_loss)
         assert record['seq_item_table_md5'] == ref_seq_digest, record
+        assert record['lazy_loss'] == ref_lazy_loss, (record,
+                                                      ref_lazy_loss)
+        assert record['lazy_item_table_md5'] == ref_lazy_digest, record
