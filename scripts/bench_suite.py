@@ -282,8 +282,21 @@ def bench_topk_kernel():
              'ms/call', config='256 users x 100K items')
 
 
+def _output_path():
+    """Validate ``--output FILE`` up front so a forgotten value fails
+    before the (long) suite runs, not after."""
+    if '--output' not in sys.argv:
+        return None
+    index = sys.argv.index('--output')
+    if index + 1 >= len(sys.argv) or sys.argv[index + 1].startswith('--'):
+        sys.exit('--output requires a file path argument')
+    return sys.argv[index + 1]
+
+
 def main():
     import jax
+
+    output = _output_path()
 
     bench_implicit_mf()
     bench_lazy_knobs()
@@ -292,8 +305,8 @@ def main():
     bench_rank_kernel()
     bench_topk_kernel()
 
-    if '--output' in sys.argv:
-        path = sys.argv[sys.argv.index('--output') + 1]
+    if output is not None:
+        path = output
         artifact = {
             'backend': jax.default_backend(),
             'device_count': jax.device_count(),

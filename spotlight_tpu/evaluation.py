@@ -182,11 +182,20 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
 
     mesh = getattr(model, '_mesh', None)
     if mesh is not None and mesh.shape.get('model', 1) > 1:
-        return _streaming_ranks_sharded(
-            mesh, reprs, item_matrix, item_bias,
-            jnp.asarray(targets, dtype=jnp.int32),
-            jnp.asarray(target_mask), train_rows, mixture=mixture,
-            interpret=interpret)
+        try:
+            return _streaming_ranks_sharded(
+                mesh, reprs, item_matrix, item_bias,
+                jnp.asarray(targets, dtype=jnp.int32),
+                jnp.asarray(target_mask), train_rows, mixture=mixture,
+                interpret=interpret)
+        except Exception as error:
+            # Same contract as the single-device branch below: a Mosaic
+            # failure on the per-shard kernel falls back (loudly) to the
+            # materialize path instead of aborting evaluation.  The
+            # sharded helper reads its result back eagerly, so async
+            # runtime errors surface here too.
+            _note_fallback('_streaming_ranks_sharded', error)
+            return None
 
     try:
         rr = _streaming_ranks_device(
@@ -630,25 +639,32 @@ def _streaming_topk_hits(model, kind, inputs, k_max, train_rows=None,
         # of a single-device kernel over a sharded array.
         from spotlight_tpu.parallel.evaluation import sharded_topk
 
-        shards = mesh.shape['model']
-        pad = -item_matrix.shape[0] % shards
-        if pad:
-            item_matrix = jnp.concatenate(
-                [item_matrix,
-                 jnp.zeros((pad, item_matrix.shape[1]),
-                           item_matrix.dtype)])
-            item_bias = jnp.concatenate(
-                [item_bias, jnp.full((pad,), -FLOAT_MAX,
-                                     item_bias.dtype)])
-        _, top_ids = sharded_topk(mesh, reprs, item_matrix, item_bias,
-                                  fetch, mixture=mixture,
-                                  interpret=interpret)
-        if train_rows is None:
-            return top_ids
-        train = jnp.asarray(train_rows, dtype=jnp.int32)
-        masked = jnp.any(top_ids[:, :, None] == train[:, None, :], axis=2)
-        order = jnp.argsort(masked.astype(jnp.int32), axis=1, stable=True)
-        return jnp.take_along_axis(top_ids, order, axis=1)[:, :k_max]
+        try:
+            shards = mesh.shape['model']
+            pad = -item_matrix.shape[0] % shards
+            if pad:
+                item_matrix = jnp.concatenate(
+                    [item_matrix,
+                     jnp.zeros((pad, item_matrix.shape[1]),
+                               item_matrix.dtype)])
+                item_bias = jnp.concatenate(
+                    [item_bias, jnp.full((pad,), -FLOAT_MAX,
+                                         item_bias.dtype)])
+            _, top_ids = sharded_topk(mesh, reprs, item_matrix, item_bias,
+                                      fetch, mixture=mixture,
+                                      interpret=interpret)
+            if train_rows is None:
+                return top_ids
+            train = jnp.asarray(train_rows, dtype=jnp.int32)
+            masked = jnp.any(top_ids[:, :, None] == train[:, None, :],
+                             axis=2)
+            order = jnp.argsort(masked.astype(jnp.int32), axis=1,
+                                stable=True)
+            return jnp.take_along_axis(top_ids, order, axis=1)[:, :k_max]
+        except Exception as error:
+            # Same loud-fallback contract as the single-device branch.
+            _note_fallback('_streaming_topk_hits_sharded', error)
+            return None
 
     try:
         return _streaming_topk_device(

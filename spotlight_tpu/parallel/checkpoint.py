@@ -76,15 +76,17 @@ def restore_state(path, model):
                          'or _initialize) before restoring.')
 
     template = _state_dict(model)
+    checkpointer = _checkpointer()
+    meta_tree = checkpointer.metadata(path).item_metadata.tree
 
-    def restore_args(value):
-        if isinstance(value, jax.Array) and hasattr(value, 'sharding'):
-            return ocp.ArrayRestoreArgs(sharding=value.sharding)
-        return ocp.RestoreArgs()
+    if _shapes_match(meta_tree, template):
+        def restore_args(value):
+            if isinstance(value, jax.Array) and hasattr(value, 'sharding'):
+                return ocp.ArrayRestoreArgs(sharding=value.sharding)
+            return ocp.RestoreArgs()
 
-    args = jax.tree_util.tree_map(restore_args, template)
-    if _shapes_match(path, template):
-        restored = _checkpointer().restore(
+        args = jax.tree_util.tree_map(restore_args, template)
+        restored = checkpointer.restore(
             path, item=template, restore_args=args)
     else:
         # Shape mismatch (table padding depends on the shard count):
@@ -92,7 +94,8 @@ def restore_state(path, model):
         # front — orbax's direct restore does not validate stored shapes
         # against the template and would happily hand back a
         # differently-padded table.
-        restored = _restore_cross_layout(path, template)
+        restored = _restore_cross_layout(checkpointer, path, template,
+                                         meta_tree)
 
     model._params = restored['params']
     model._opt_state = restored['opt_state']
@@ -100,19 +103,40 @@ def restore_state(path, model):
     return model
 
 
-def _shapes_match(path, template):
-    """True when every checkpoint leaf's stored shape equals the model's."""
+def _shapes_match(meta_tree, template):
+    """True when every checkpoint leaf's stored shape equals the model's.
+
+    A checkpoint whose tree *structure* differs from the model's (e.g. a
+    dense optax optimizer state restored onto a ``sparse=True`` model's
+    ``{mu, nu, t}`` state, or vice versa) cannot be reconciled at all —
+    raise a clear error instead of letting orbax's tree mapping surface
+    an opaque ``KeyError`` deep inside ``deserialize_tree``.
+    """
     import orbax.checkpoint as ocp
 
-    meta_tree = _checkpointer().metadata(path).item_metadata.tree
-    meta_on_template = ocp.tree.deserialize_tree(meta_tree, target=template)
-    metas = jax.tree_util.tree_leaves(meta_on_template)
+    try:
+        meta_on_template = ocp.tree.deserialize_tree(meta_tree,
+                                                     target=template)
+        metas = jax.tree_util.tree_leaves(meta_on_template)
+    except Exception as error:
+        raise ValueError(
+            'Checkpoint structure does not match the model ({!r}). The '
+            'checkpoint was saved from a different engine configuration '
+            '(e.g. sparse=True vs a dense optax optimizer state, or a '
+            'different representation); construct the model with the '
+            'same settings it was saved with before restoring.'
+            .format(error)) from error
     leaves = jax.tree_util.tree_leaves(template)
+    if len(metas) != len(leaves):
+        raise ValueError(
+            'Checkpoint holds {} leaves but the model expects {}: the '
+            'checkpoint was saved from a different engine configuration.'
+            .format(len(metas), len(leaves)))
     return all(tuple(meta.shape) == tuple(leaf.shape)
                for meta, leaf in zip(metas, leaves))
 
 
-def _restore_cross_layout(path, template):
+def _restore_cross_layout(checkpointer, path, template, meta_tree):
     """Restore a checkpoint whose padded table shapes differ from the
     model's.
 
@@ -128,8 +152,6 @@ def _restore_cross_layout(path, template):
     """
     import orbax.checkpoint as ocp
 
-    checkpointer = _checkpointer()
-    meta_tree = checkpointer.metadata(path).item_metadata.tree
     as_numpy = jax.tree_util.tree_map(
         lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta_tree)
     raw = checkpointer.restore(path, restore_args=as_numpy)

@@ -207,3 +207,32 @@ def test_incompatible_checkpoint_raises(tmp_path):
     smaller._initialize(smaller_data)
     with pytest.raises(ValueError, match='non-zero rows'):
         checkpoint.restore_state(path, smaller)
+
+
+def test_cross_engine_checkpoint_raises_clearly(tmp_path):
+    """A checkpoint saved from the dense engine cannot restore onto a
+    sparse=True model (the optimizer-state trees differ structurally):
+    the failure must be a clear ValueError naming the engine mismatch,
+    not an opaque KeyError from orbax tree mapping."""
+    train, _ = _data()
+    dense = ImplicitFactorizationModel(
+        loss='bpr', n_iter=1, batch_size=512,
+        random_state=np.random.RandomState(42))
+    dense.fit(train)
+    path = checkpoint.save_state(str(tmp_path / 'ckpt'), dense)
+
+    lazy = ImplicitFactorizationModel(
+        loss='bpr', n_iter=1, batch_size=512, sparse=True,
+        random_state=np.random.RandomState(7))
+    lazy.fit(train)
+    with pytest.raises(ValueError, match='engine configuration'):
+        checkpoint.restore_state(path, lazy)
+
+    # And the reverse direction: lazy checkpoint onto a dense model.
+    lazy_path = checkpoint.save_state(str(tmp_path / 'ckpt_lazy'), lazy)
+    fresh_dense = ImplicitFactorizationModel(
+        loss='bpr', n_iter=1, batch_size=512,
+        random_state=np.random.RandomState(7))
+    fresh_dense._initialize(train)
+    with pytest.raises(ValueError, match='engine configuration'):
+        checkpoint.restore_state(lazy_path, fresh_dense)

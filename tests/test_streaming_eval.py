@@ -172,6 +172,26 @@ def test_streaming_mrr_on_mesh_matches():
     # the same tight tolerance as the single-device streaming tests.
     np.testing.assert_allclose(streamed, standard, rtol=1e-4, atol=1e-6)
 
+    # The mesh streaming path carries the same loud-fallback contract as
+    # the single-device path: a per-shard kernel failure warns, counts,
+    # and recomputes on the materialize path instead of raising.
+    from spotlight_tpu import evaluation
+
+    def boom(*args, **kwargs):
+        raise RuntimeError('injected Mosaic failure')
+
+    original = evaluation._streaming_ranks_sharded
+    evaluation._streaming_ranks_sharded = boom
+    try:
+        before = evaluation.FALLBACK_COUNTS['_streaming_ranks_sharded']
+        with pytest.warns(RuntimeWarning, match='fell back'):
+            fell_back = mrr_score(model, test, train=train, streaming=True)
+        assert (evaluation.FALLBACK_COUNTS['_streaming_ranks_sharded']
+                > before)
+    finally:
+        evaluation._streaming_ranks_sharded = original
+    np.testing.assert_allclose(fell_back, standard, rtol=1e-6)
+
 
 @pytest.fixture(scope='module')
 def fitted_mixture():
