@@ -266,6 +266,39 @@ def test_lazy_explicit_mesh_matches_single_device():
                - rmse_score(dist, interactions)) < 1e-4
 
 
+@pytest.mark.skipif(len(__import__('jax').devices()) < 8,
+                    reason='needs 8 (virtual) devices')
+def test_lazy_mesh_streaming_eval_matches():
+    """Streaming evaluation composes with the lazy mesh engine: a
+    sparse=True + mesh= model routes through the per-shard rank/top-k
+    kernels without falling back, and matches the materialize path."""
+    import warnings
+
+    from spotlight_tpu.data import random_train_test_split
+    from spotlight_tpu.evaluation import (mrr_score,
+                                          precision_recall_score)
+    from spotlight_tpu.parallel import make_mesh
+
+    interactions = factorization_dataset(
+        num_users=150, num_items=120, num_interactions=6000)
+    train, test = random_train_test_split(
+        interactions, random_state=np.random.RandomState(0))
+    model = ImplicitFactorizationModel(
+        loss='bpr', embedding_dim=16, n_iter=3, batch_size=256,
+        sparse=True, mesh=make_mesh(data=2, model=4),
+        random_state=np.random.RandomState(42))
+    model.fit(train)
+    assert model._lazy
+
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')   # a fallback warning -> failure
+        streamed = mrr_score(model, test, train=train, streaming=True)
+        standard = mrr_score(model, test, train=train, streaming=False)
+        precision_recall_score(model, test, train=train, k=5,
+                               streaming=True)
+    np.testing.assert_allclose(streamed, standard, rtol=1e-4, atol=1e-6)
+
+
 def test_lazy_bf16_learns():
     """sparse=True composes with table_dtype=bfloat16: bf16 storage, f32
     moments and update math; clears the dense bf16 gate."""
