@@ -439,6 +439,37 @@ def test_lazy_sequence_resume_and_pickle():
 
 @pytest.mark.skipif(len(__import__('jax').devices()) < 8,
                     reason='needs 8 (virtual) devices')
+def test_lazy_mesh_sequence_streaming_eval_matches():
+    """Sequence streaming evaluation composes with the lazy mesh engine
+    too: no fallback warning, matches the materialize path."""
+    import warnings
+
+    from spotlight_tpu.evaluation import sequence_mrr_score
+    from spotlight_tpu.parallel import make_mesh
+    from spotlight_tpu.sequence import ImplicitSequenceModel
+
+    from tests._fixtures import sequential_dataset
+
+    interactions = sequential_dataset(
+        num_users=60, num_items=80, num_interactions=3000,
+        concentration_parameter=0.01)
+    sequences = interactions.to_sequence(max_sequence_length=8)
+    model = ImplicitSequenceModel(
+        loss='bpr', representation='lstm', embedding_dim=16, n_iter=2,
+        batch_size=128, sparse=True, mesh=make_mesh(data=2, model=4),
+        random_state=np.random.RandomState(42))
+    model.fit(sequences)
+    assert model._lazy
+
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        streamed = sequence_mrr_score(model, sequences, streaming=True)
+        standard = sequence_mrr_score(model, sequences, streaming=False)
+    np.testing.assert_allclose(streamed, standard, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.skipif(len(__import__('jax').devices()) < 8,
+                    reason='needs 8 (virtual) devices')
 def test_lazy_sequence_mesh_matches_single_device():
     """Sequence sparse=True composes with mesh=: sharded item-table lazy
     updates + replicated tower reproduce the single-device engine (tower
