@@ -52,7 +52,9 @@ def bench_implicit_mf():
             loss=loss, embedding_dim=64, n_iter=1, batch_size=8192,
             random_state=np.random.RandomState(42))
         model.fit(interactions)          # warm-up + compile
-        epochs = 1 if QUICK else 3
+        # 10 epochs amortize the one-time per-fit host-to-device copy the
+        # way a real n_iter=10 fit does (same methodology as bench.py).
+        epochs = 1 if QUICK else 10
         model._n_iter = epochs
         start = time.perf_counter()
         model.fit(interactions)
@@ -102,7 +104,7 @@ def bench_lazy_knobs():
             loss='bpr', embedding_dim=64, n_iter=1, batch_size=8192,
             random_state=np.random.RandomState(42), **kwargs)
         model.fit(interactions)          # warm-up + compile
-        epochs = 1 if QUICK else 2
+        epochs = 1 if QUICK else 4
         model._n_iter = epochs
         start = time.perf_counter()
         model.fit(interactions)
@@ -128,7 +130,9 @@ def bench_sequence():
         loss='bpr', representation='lstm', embedding_dim=64,
         batch_size=256, n_iter=1, random_state=np.random.RandomState(0))
     model.fit(data)
-    epochs = 1 if QUICK else 3
+    # 10 epochs amortize the one-time per-fit host-to-device sequence
+    # copy (~4 MB through the dev tunnel), same methodology as bench.py.
+    epochs = 1 if QUICK else 10
     model._n_iter = epochs
     start = time.perf_counter()
     model.fit(data)
