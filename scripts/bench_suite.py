@@ -36,6 +36,23 @@ def _readback(x):
     return float(np.asarray(x).ravel()[0])
 
 
+def _timed_fit_rate(model, data, examples_per_fit, epochs):
+    """examples/s of a timed ``fit`` — best of 2 repetitions, like the
+    reference's own benchmark harness (min-of-2 elapsed,
+    `/root/reference/examples/bloom_embeddings/performance.py:24-38`):
+    the dev tunnel shows transient 2x throughput dips, and the faster
+    repetition is the one that reflects steady-state device capability.
+    The model must already be fitted once (warm-up + compile)."""
+    model._n_iter = epochs
+    reps = 1 if QUICK else 2
+    best = float('inf')
+    for _ in range(reps):
+        start = time.perf_counter()
+        model.fit(data)
+        best = min(best, time.perf_counter() - start)
+    return epochs * examples_per_fit / best
+
+
 def bench_implicit_mf():
     from spotlight_tpu.data import Interactions
     from spotlight_tpu.factorization import ImplicitFactorizationModel
@@ -54,13 +71,9 @@ def bench_implicit_mf():
         model.fit(interactions)          # warm-up + compile
         # 10 epochs amortize the one-time per-fit host-to-device copy the
         # way a real n_iter=10 fit does (same methodology as bench.py).
-        epochs = 1 if QUICK else 10
-        model._n_iter = epochs
-        start = time.perf_counter()
-        model.fit(interactions)
-        elapsed = time.perf_counter() - start
-        emit('implicit_mf_train_{}'.format(loss),
-             epochs * n / elapsed, 'examples/s/chip')
+        rate = _timed_fit_rate(model, interactions, n,
+                               epochs=1 if QUICK else 10)
+        emit('implicit_mf_train_{}'.format(loss), rate, 'examples/s/chip')
     return model, interactions
 
 
@@ -104,13 +117,9 @@ def bench_lazy_knobs():
             loss='bpr', embedding_dim=64, n_iter=1, batch_size=8192,
             random_state=np.random.RandomState(42), **kwargs)
         model.fit(interactions)          # warm-up + compile
-        epochs = 1 if QUICK else 4
-        model._n_iter = epochs
-        start = time.perf_counter()
-        model.fit(interactions)
-        elapsed = time.perf_counter() - start
-        emit('lazy_knobs_{}'.format(name), epochs * n / elapsed,
-             'examples/s/chip',
+        rate = _timed_fit_rate(model, interactions, n,
+                               epochs=1 if QUICK else 4)
+        emit('lazy_knobs_{}'.format(name), rate, 'examples/s/chip',
              config='{}x{} users x items, D=64'.format(num_users,
                                                        num_items))
         del model
@@ -126,18 +135,25 @@ def bench_sequence():
     sequences = rs.randint(1, 20_000, size=(nseq, 50)).astype(np.int32)
     data = SequenceInteractions(sequences, num_items=20_000)
 
-    model = ImplicitSequenceModel(
-        loss='bpr', representation='lstm', embedding_dim=64,
-        batch_size=256, n_iter=1, random_state=np.random.RandomState(0))
-    model.fit(data)
-    # 10 epochs amortize the one-time per-fit host-to-device sequence
-    # copy (~4 MB through the dev tunnel), same methodology as bench.py.
-    epochs = 1 if QUICK else 10
-    model._n_iter = epochs
-    start = time.perf_counter()
-    model.fit(data)
-    elapsed = time.perf_counter() - start
-    emit('lstm_sequence_train', epochs * nseq / elapsed, 'sequences/s/chip')
+    # All four representations (the reference-CPU baselines for the
+    # head-to-head table live in scripts/reference_seq_baseline.py).
+    reps = ('lstm',) if QUICK else ('pooling', 'lstm', 'cnn', 'mixture')
+    for rep in reps:
+        rep_model = ImplicitSequenceModel(
+            loss='bpr', representation=rep, embedding_dim=64,
+            batch_size=256, n_iter=1,
+            random_state=np.random.RandomState(0))
+        rep_model.fit(data)
+        # 10 epochs amortize the one-time per-fit host-to-device sequence
+        # copy (~4 MB through the dev tunnel), same methodology as
+        # bench.py.
+        rate = _timed_fit_rate(rep_model, data, nseq,
+                               epochs=1 if QUICK else 10)
+        emit('{}_sequence_train'.format(rep), rate, 'sequences/s/chip')
+        if rep == 'lstm':
+            model = rep_model
+        else:
+            del rep_model
 
     eval_rows = 512 if QUICK else 2048
     test = SequenceInteractions(sequences[:eval_rows], num_items=20_000)
