@@ -64,6 +64,52 @@ def _streaming_default():
     return jax.default_backend() not in ('cpu',)
 
 
+def _ranks_with_train_correction(greater, equal, num_items, safe_targets,
+                                 target_scores, valid_train, safe_train,
+                                 train_scores):
+    """Closed-form train-mask correction of streaming rank counts.
+
+    The reference sets train-item scores to -FLOAT_MAX
+    (`/root/reference/spotlight/evaluation.py:50`), so a masked item
+    contributes to no target's counts — subtract its comparisons; a
+    target that is itself masked ranks behind every unmasked item with
+    the masked set tied: ``rank = (N - |M|) + (|M| + 1) / 2``.
+
+    Comparisons of each target against the user's train items (excluding
+    the target itself by id) are chunked over targets so the
+    (B, T_chunk, Tr) broadcast stays bounded for heavy users.
+    """
+    chunk = 32
+    num_t = safe_targets.shape[1]
+    tr_greater_parts, tr_equal_parts, in_train_parts = [], [], []
+    for start in range(0, num_t, chunk):
+        stop = min(start + chunk, num_t)
+        tgt_ids = jax.lax.slice_in_dim(safe_targets, start, stop, axis=1)
+        tgt_scores = jax.lax.slice_in_dim(target_scores, start, stop,
+                                          axis=1)
+        not_self = safe_train[:, None, :] != tgt_ids[:, :, None]
+        countable = valid_train[:, None, :] & not_self
+        tr_greater_parts.append(jnp.sum(
+            countable & (train_scores[:, None, :] >
+                         tgt_scores[:, :, None]), axis=2))
+        tr_equal_parts.append(jnp.sum(
+            countable & (train_scores[:, None, :] ==
+                         tgt_scores[:, :, None]), axis=2))
+        in_train_parts.append(jnp.any(
+            valid_train[:, None, :] &
+            (safe_train[:, None, :] == tgt_ids[:, :, None]), axis=2))
+    tr_greater = jnp.concatenate(tr_greater_parts, axis=1)
+    tr_equal = jnp.concatenate(tr_equal_parts, axis=1)
+    target_in_train = jnp.concatenate(in_train_parts, axis=1)
+    train_count = valid_train.sum(axis=1, keepdims=True)        # (B, 1)
+
+    unmasked_ranks = (greater - tr_greater +
+                      (equal - tr_equal) * 0.5 + 1.0)
+    masked_ranks = ((num_items - train_count) +
+                    (train_count + 1.0) * 0.5)
+    return jnp.where(target_in_train, masked_ranks, unmasked_ranks)
+
+
 @functools.partial(jax.jit, static_argnames=('interpret', 'mixture'))
 def _streaming_ranks_device(reprs, item_matrix, item_bias, targets,
                             target_mask, train_rows, interpret=False,
@@ -116,39 +162,9 @@ def _streaming_ranks_device(reprs, item_matrix, item_bias, targets,
             train_scores = matched_target_scores(
                 reprs, item_matrix, item_bias, safe_train)      # (B, Tr)
 
-        # Comparisons of each target against the user's train items
-        # (excluding the target itself by id), chunked over targets so the
-        # (B, T_chunk, Tr) broadcast stays bounded for heavy users.
-        chunk = 32
-        num_t = safe_targets.shape[1]
-        tr_greater_parts, tr_equal_parts, in_train_parts = [], [], []
-        for start in range(0, num_t, chunk):
-            stop = min(start + chunk, num_t)
-            tgt_ids = jax.lax.slice_in_dim(safe_targets, start, stop,
-                                           axis=1)
-            tgt_scores = jax.lax.slice_in_dim(target_scores, start, stop,
-                                              axis=1)
-            not_self = safe_train[:, None, :] != tgt_ids[:, :, None]
-            countable = valid_train[:, None, :] & not_self
-            tr_greater_parts.append(jnp.sum(
-                countable & (train_scores[:, None, :] >
-                             tgt_scores[:, :, None]), axis=2))
-            tr_equal_parts.append(jnp.sum(
-                countable & (train_scores[:, None, :] ==
-                             tgt_scores[:, :, None]), axis=2))
-            in_train_parts.append(jnp.any(
-                valid_train[:, None, :] &
-                (safe_train[:, None, :] == tgt_ids[:, :, None]), axis=2))
-        tr_greater = jnp.concatenate(tr_greater_parts, axis=1)
-        tr_equal = jnp.concatenate(tr_equal_parts, axis=1)
-        target_in_train = jnp.concatenate(in_train_parts, axis=1)
-        train_count = valid_train.sum(axis=1, keepdims=True)    # (B, 1)
-
-        unmasked_ranks = (greater - tr_greater +
-                          (equal - tr_equal) * 0.5 + 1.0)
-        masked_ranks = ((num_items - train_count) +
-                        (train_count + 1.0) * 0.5)
-        ranks = jnp.where(target_in_train, masked_ranks, unmasked_ranks)
+        ranks = _ranks_with_train_correction(
+            greater, equal, num_items, safe_targets, target_scores,
+            valid_train, safe_train, train_scores)
     else:
         ranks = greater + equal * 0.5 + 1.0
 
@@ -257,36 +273,9 @@ def _streaming_ranks_sharded(mesh, reprs, item_matrix, item_bias, targets,
         train_scores = sharded_candidate_scores(
             mesh, reprs, item_matrix, item_bias, safe_train,
             mixture=mixture, interpret=interpret)
-        chunk = 32
-        num_t = safe_targets.shape[1]
-        tr_greater_parts, tr_equal_parts, in_train_parts = [], [], []
-        for start in range(0, num_t, chunk):
-            stop = min(start + chunk, num_t)
-            tgt_ids = jax.lax.slice_in_dim(safe_targets, start, stop,
-                                           axis=1)
-            tgt_scores = jax.lax.slice_in_dim(target_scores, start, stop,
-                                              axis=1)
-            not_self = safe_train[:, None, :] != tgt_ids[:, :, None]
-            countable = valid_train[:, None, :] & not_self
-            tr_greater_parts.append(jnp.sum(
-                countable & (train_scores[:, None, :] >
-                             tgt_scores[:, :, None]), axis=2))
-            tr_equal_parts.append(jnp.sum(
-                countable & (train_scores[:, None, :] ==
-                             tgt_scores[:, :, None]), axis=2))
-            in_train_parts.append(jnp.any(
-                valid_train[:, None, :] &
-                (safe_train[:, None, :] == tgt_ids[:, :, None]), axis=2))
-        tr_greater = jnp.concatenate(tr_greater_parts, axis=1)
-        tr_equal = jnp.concatenate(tr_equal_parts, axis=1)
-        target_in_train = jnp.concatenate(in_train_parts, axis=1)
-        train_count = valid_train.sum(axis=1, keepdims=True)
-
-        unmasked_ranks = (greater - tr_greater +
-                          (equal - tr_equal) * 0.5 + 1.0)
-        masked_ranks = ((num_items - train_count) +
-                        (train_count + 1.0) * 0.5)
-        ranks = jnp.where(target_in_train, masked_ranks, unmasked_ranks)
+        ranks = _ranks_with_train_correction(
+            greater, equal, num_items, safe_targets, target_scores,
+            valid_train, safe_train, train_scores)
     else:
         ranks = greater + equal * 0.5 + 1.0
 
