@@ -137,7 +137,9 @@ def bench_sequence():
 
     # All four representations (the reference-CPU baselines for the
     # head-to-head table live in scripts/reference_seq_baseline.py).
+    # 'lstm' must stay in reps: the eval section below reuses its model.
     reps = ('lstm',) if QUICK else ('pooling', 'lstm', 'cnn', 'mixture')
+    model = None
     for rep in reps:
         rep_model = ImplicitSequenceModel(
             loss='bpr', representation=rep, embedding_dim=64,
@@ -155,6 +157,8 @@ def bench_sequence():
         else:
             del rep_model
 
+    if model is None:
+        return
     eval_rows = 512 if QUICK else 2048
     test = SequenceInteractions(sequences[:eval_rows], num_items=20_000)
     sequence_mrr_score(model, test)      # warm-up + compile

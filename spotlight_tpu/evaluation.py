@@ -59,19 +59,45 @@ def _is_runtime_error(error):
     return isinstance(error, jax_error)
 
 
+def _propagate_to_fallback(error):
+    """Whether a streaming-path failure should degrade to the (correct,
+    slower) materialize path.
+
+    Mosaic compile failures surface as assorted exception types
+    (``NotImplementedError``, ``ValueError``, XLA runtime errors) so a
+    narrow allowlist would silently break the fallback contract on a jax
+    upgrade — instead, clearly host-side programming errors are
+    *re-raised* and everything else falls back loudly (advisor round-3
+    finding: genuine shape/dtype bugs must not hide behind recurring
+    fallback warnings)."""
+    return not isinstance(error, (TypeError, AttributeError, NameError,
+                                  KeyError, IndexError))
+
+
 def _streaming_default():
     """Use the Pallas streaming rank kernel on TPU-like backends."""
     return jax.default_backend() not in ('cpu',)
 
 
-def _ranks_with_train_correction(greater, equal, num_items, safe_targets,
+def _auto_tile(batch):
+    """Item-tile rows for the streaming kernels, sized so the per-tile
+    (TILE, B) score block stays ~4 MB of VMEM at any user-batch width."""
+    return max(256, min(4096, (1 << 20) // max(batch, 1)))
+
+
+def _ranks_with_train_correction(weights, num_items, safe_targets,
                                  target_scores, valid_train, safe_train,
                                  train_scores):
-    """Closed-form train-mask correction of streaming rank counts.
+    """Closed-form train-mask correction of streaming rank weights.
+
+    ``weights`` are the self-inclusive combined counts from
+    :func:`~spotlight_tpu.ops.kernels.ranking.rank_weights`
+    (``count(> ts) + 0.5 * count(== ts)`` over the whole catalog,
+    including the target's own 0.5 self-tie).
 
     The reference sets train-item scores to -FLOAT_MAX
     (`/root/reference/spotlight/evaluation.py:50`), so a masked item
-    contributes to no target's counts — subtract its comparisons; a
+    contributes to no target's counts — subtract its comparison weight; a
     target that is itself masked ranks behind every unmasked item with
     the masked set tied: ``rank = (N - |M|) + (|M| + 1) / 2``.
 
@@ -81,7 +107,7 @@ def _ranks_with_train_correction(greater, equal, num_items, safe_targets,
     """
     chunk = 32
     num_t = safe_targets.shape[1]
-    tr_greater_parts, tr_equal_parts, in_train_parts = [], [], []
+    tr_weight_parts, in_train_parts = [], []
     for start in range(0, num_t, chunk):
         stop = min(start + chunk, num_t)
         tgt_ids = jax.lax.slice_in_dim(safe_targets, start, stop, axis=1)
@@ -89,22 +115,22 @@ def _ranks_with_train_correction(greater, equal, num_items, safe_targets,
                                           axis=1)
         not_self = safe_train[:, None, :] != tgt_ids[:, :, None]
         countable = valid_train[:, None, :] & not_self
-        tr_greater_parts.append(jnp.sum(
-            countable & (train_scores[:, None, :] >
-                         tgt_scores[:, :, None]), axis=2))
-        tr_equal_parts.append(jnp.sum(
-            countable & (train_scores[:, None, :] ==
-                         tgt_scores[:, :, None]), axis=2))
+        tr_scores = train_scores[:, None, :]
+        tgt = tgt_scores[:, :, None]
+        tr_weight_parts.append(jnp.sum(
+            jnp.where(countable & (tr_scores > tgt), 1.0,
+                      jnp.where(countable & (tr_scores == tgt), 0.5, 0.0)),
+            axis=2))
         in_train_parts.append(jnp.any(
             valid_train[:, None, :] &
             (safe_train[:, None, :] == tgt_ids[:, :, None]), axis=2))
-    tr_greater = jnp.concatenate(tr_greater_parts, axis=1)
-    tr_equal = jnp.concatenate(tr_equal_parts, axis=1)
+    tr_weight = jnp.concatenate(tr_weight_parts, axis=1)
     target_in_train = jnp.concatenate(in_train_parts, axis=1)
     train_count = valid_train.sum(axis=1, keepdims=True)        # (B, 1)
 
-    unmasked_ranks = (greater - tr_greater +
-                      (equal - tr_equal) * 0.5 + 1.0)
+    # weights includes the self-tie (0.5); rank = weights + 0.5 before
+    # masking, minus the masked items' comparison weight.
+    unmasked_ranks = weights - tr_weight + 0.5
     masked_ranks = ((num_items - train_count) +
                     (train_count + 1.0) * 0.5)
     return jnp.where(target_in_train, masked_ranks, unmasked_ranks)
@@ -126,7 +152,7 @@ def _streaming_ranks_device(reprs, item_matrix, item_bias, targets,
     """
     from spotlight_tpu.ops.kernels.ranking import (
         make_mixture_score_fn, matched_candidate_scores,
-        matched_target_scores, rank_counts)
+        matched_target_scores, rank_weights)
 
     num_items, dim = item_matrix.shape
     targets = targets.astype(jnp.int32)
@@ -135,7 +161,9 @@ def _streaming_ranks_device(reprs, item_matrix, item_bias, targets,
     # differences flip == comparisons on exact ties): dot scoring uses
     # MXU-matmul arithmetic (ranking.matched_target_scores), mixture
     # scoring runs the same kernel score_fn over the gathered target rows
-    # (ranking.matched_candidate_scores).
+    # (ranking.matched_candidate_scores).  The bit-match is also what lets
+    # the lean rank_weights kernel skip id-based self-exclusion: the
+    # target's self-comparison is a guaranteed exact tie (weight 0.5).
     if mixture:
         score_fn = make_mixture_score_fn(mixture, dim)
         target_scores = matched_candidate_scores(
@@ -146,9 +174,9 @@ def _streaming_ranks_device(reprs, item_matrix, item_bias, targets,
         target_scores = matched_target_scores(reprs, item_matrix, item_bias,
                                               safe_targets)
 
-    greater, equal = rank_counts(reprs, item_matrix, item_bias,
-                                 target_scores, safe_targets,
-                                 interpret=interpret, score_fn=score_fn)
+    weights = rank_weights(reprs, item_matrix, item_bias, target_scores,
+                           tile_items=_auto_tile(reprs.shape[0]),
+                           interpret=interpret, score_fn=score_fn)
 
     if train_rows is not None:
         train_rows = train_rows.astype(jnp.int32)               # (B, Tr)
@@ -163,10 +191,11 @@ def _streaming_ranks_device(reprs, item_matrix, item_bias, targets,
                 reprs, item_matrix, item_bias, safe_train)      # (B, Tr)
 
         ranks = _ranks_with_train_correction(
-            greater, equal, num_items, safe_targets, target_scores,
+            weights, num_items, safe_targets, target_scores,
             valid_train, safe_train, train_scores)
     else:
-        ranks = greater + equal * 0.5 + 1.0
+        # weights includes the target's own 0.5 self-tie.
+        ranks = weights + 0.5
 
     rr = jnp.where(target_mask, 1.0 / ranks, 0.0)
     denom = jnp.maximum(target_mask.sum(axis=1), 1)
@@ -210,6 +239,8 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
             # materialize path instead of aborting evaluation.  The
             # sharded helper reads its result back eagerly, so async
             # runtime errors surface here too.
+            if not _propagate_to_fallback(error):
+                raise
             _note_fallback('_streaming_ranks_sharded', error)
             return None
 
@@ -224,6 +255,8 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
     except Exception as error:
         # Mosaic compile failures on unusual shapes fall back to the
         # materialize-sort path rather than breaking evaluation.
+        if not _propagate_to_fallback(error):
+            raise
         _note_fallback('_streaming_ranks', error)
         return None
     # Returned on-device: callers collect per-batch results and read back
@@ -236,15 +269,21 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
 def _streaming_ranks_sharded(mesh, reprs, item_matrix, item_bias, targets,
                              target_mask, train_rows, mixture=None,
                              interpret=False):
-    """Mesh-sharded tables: run the Pallas rank-count kernel per shard on
-    the resident rows and psum the counts (parallel/evaluation.py) instead
-    of a single-device launch.  Target/train scores come from the owning
-    shard through the same kernel arithmetic
-    (`parallel.evaluation.sharded_candidate_scores`), so tie comparisons
-    stay exact — per-item scores are identical to the single-device
-    streaming path (the D contraction is never split by row sharding)."""
+    """Mesh-sharded tables: run the lean Pallas rank-weight kernel per
+    shard on the resident rows and psum the weights
+    (parallel/evaluation.py) instead of a single-device launch.
+    Target/train scores come from the owning shard through the same
+    kernel arithmetic (`parallel.evaluation.sharded_candidate_scores`),
+    so tie comparisons stay exact — per-item scores are identical to the
+    single-device streaming path (the D contraction is never split by row
+    sharding), and the target's guaranteed self-tie replaces id-based
+    self-exclusion.
+
+    The user batch additionally shards over the ``'data'`` axis (padded
+    to a multiple here, sliced back after): data replicas split the
+    scoring work instead of repeating it."""
     from spotlight_tpu.parallel.evaluation import (sharded_candidate_scores,
-                                                   sharded_rank_counts)
+                                                   sharded_rank_weights)
 
     num_items = item_matrix.shape[0]
     safe_targets = jnp.clip(targets, 0, num_items - 1)
@@ -259,11 +298,26 @@ def _streaming_ranks_sharded(mesh, reprs, item_matrix, item_bias, targets,
              jnp.zeros((pad, item_matrix.shape[1]), item_matrix.dtype)])
         item_bias = jnp.concatenate(
             [item_bias, jnp.full((pad,), -FLOAT_MAX, item_bias.dtype)])
+
+    batch = reprs.shape[0]
+    pad_b = -batch % mesh.shape.get('data', 1)
+    if pad_b:
+        # Pad the user batch to a data-axis multiple (repeat-first rows,
+        # sliced back below) so it shards over 'data'.
+        reprs = jnp.concatenate(
+            [reprs, jnp.repeat(reprs[:1], pad_b, axis=0)])
+        safe_targets = jnp.concatenate(
+            [safe_targets, jnp.repeat(safe_targets[:1], pad_b, axis=0)])
+        if train_rows is not None:
+            train_rows = jnp.asarray(train_rows, dtype=jnp.int32)
+            train_rows = jnp.concatenate(
+                [train_rows, jnp.repeat(train_rows[:1], pad_b, axis=0)])
+
     target_scores = sharded_candidate_scores(
         mesh, reprs, item_matrix, item_bias, safe_targets, mixture=mixture,
         interpret=interpret)
-    greater, equal = sharded_rank_counts(
-        mesh, reprs, item_matrix, item_bias, target_scores, safe_targets,
+    weights = sharded_rank_weights(
+        mesh, reprs, item_matrix, item_bias, target_scores,
         mixture=mixture, interpret=interpret)
 
     if train_rows is not None:
@@ -274,11 +328,12 @@ def _streaming_ranks_sharded(mesh, reprs, item_matrix, item_bias, targets,
             mesh, reprs, item_matrix, item_bias, safe_train,
             mixture=mixture, interpret=interpret)
         ranks = _ranks_with_train_correction(
-            greater, equal, num_items, safe_targets, target_scores,
+            weights, num_items, safe_targets, target_scores,
             valid_train, safe_train, train_scores)
     else:
-        ranks = greater + equal * 0.5 + 1.0
+        ranks = weights + 0.5
 
+    ranks = ranks[:batch]
     rr = jnp.where(target_mask, 1.0 / ranks, 0.0)
     denom = jnp.maximum(target_mask.sum(axis=1), 1)
     return np.asarray(rr.sum(axis=1) / denom)
@@ -370,7 +425,21 @@ def _score_user_batch(model, user_batch):
     return np.stack([model.predict(int(u)) for u in user_batch])
 
 
-def mrr_score(model, test, train=None, batch_size=256, streaming=None):
+def _resolve_batch_size(batch_size, use_streaming, model, kind):
+    """The streaming kernels amortize per-batch costs (dispatch, the
+    matched target-score pass, one catalog read per batch) over the user
+    batch, so the auto default runs them 1024 users wide; the materialize
+    fallback keeps the reference-loop-friendly 256 (its (B, N) score
+    matrix scales with the batch)."""
+    if batch_size is not None:
+        return batch_size
+    if use_streaming and getattr(model, '_rank_factors_' + kind,
+                                 None) is not None:
+        return 1024
+    return 256
+
+
+def mrr_score(model, test, train=None, batch_size=None, streaming=None):
     """Mean reciprocal rank: one score per user with test interactions,
     the mean reciprocal (average-tie) rank of that user's test items.
 
@@ -382,7 +451,8 @@ def mrr_score(model, test, train=None, batch_size=256, streaming=None):
         If supplied, scores of train interactions are pushed below every
         other item and so do not affect the MRR.
     batch_size : int, optional
-        Number of users scored per device step.
+        Number of users scored per device step (default: 1024 on the
+        streaming kernel path, 256 on the materialize path).
     streaming : bool, optional
         Use the fused Pallas catalog-streaming kernel (default: on TPU
         backends, when the model exposes dot-product rank factors).
@@ -402,6 +472,8 @@ def mrr_score(model, test, train=None, batch_size=256, streaming=None):
     use_streaming = (_streaming_default() if streaming is None
                      else streaming)
     interpret = bool(use_streaming) and jax.default_backend() == 'cpu'
+    batch_size = _resolve_batch_size(batch_size, use_streaming, model,
+                                     'users')
 
     mrrs = []
     for start in range(0, len(users), batch_size):
@@ -435,7 +507,8 @@ def mrr_score(model, test, train=None, batch_size=256, streaming=None):
         if streaming is False or not _is_runtime_error(error):
             raise
         _note_fallback('mrr_score readback', error)
-        return mrr_score(model, test, train=train, batch_size=batch_size,
+        # batch_size=None re-resolves to the materialize default (256).
+        return mrr_score(model, test, train=train, batch_size=None,
                          streaming=False)
 
 
@@ -477,7 +550,7 @@ def _dedup_rows(matrix, pad_value=-1):
     return out
 
 
-def sequence_mrr_score(model, test, exclude_preceding=False, batch_size=256,
+def sequence_mrr_score(model, test, exclude_preceding=False, batch_size=None,
                        streaming=None):
     """MRR of each sequence's last element given all preceding elements.
 
@@ -489,6 +562,9 @@ def sequence_mrr_score(model, test, exclude_preceding=False, batch_size=256,
         Push items already in the prefix below every other item.  (Note:
         like the reference, `evaluation.py:95-96`, this also excludes the
         padding id 0.)
+    batch_size : int, optional
+        Sequences scored per device step (default: 1024 on the streaming
+        kernel path, 256 on the materialize path).
     streaming : bool, optional
         Use the fused Pallas catalog-streaming kernel (default: on TPU
         backends, for dot-product representations).
@@ -503,6 +579,8 @@ def sequence_mrr_score(model, test, exclude_preceding=False, batch_size=256,
     use_streaming = (_streaming_default() if streaming is None
                      else streaming)
     interpret = bool(use_streaming) and jax.default_backend() == 'cpu'
+    batch_size = _resolve_batch_size(batch_size, use_streaming, model,
+                                     'sequences')
 
     mrrs = []
     for start in range(0, len(sequences), batch_size):
@@ -535,9 +613,10 @@ def sequence_mrr_score(model, test, exclude_preceding=False, batch_size=256,
         if streaming is False or not _is_runtime_error(error):
             raise
         _note_fallback('sequence_mrr_score readback', error)
+        # batch_size=None re-resolves to the materialize default (256).
         return sequence_mrr_score(model, test,
                                   exclude_preceding=exclude_preceding,
-                                  batch_size=batch_size, streaming=False)
+                                  batch_size=None, streaming=False)
 
 
 def _precision_recall_from_scores(scores, targets, target_mask, k_values):
@@ -652,6 +731,8 @@ def _streaming_topk_hits(model, kind, inputs, k_max, train_rows=None,
             return jnp.take_along_axis(top_ids, order, axis=1)[:, :k_max]
         except Exception as error:
             # Same loud-fallback contract as the single-device branch.
+            if not _propagate_to_fallback(error):
+                raise
             _note_fallback('_streaming_topk_hits_sharded', error)
             return None
 
@@ -662,6 +743,8 @@ def _streaming_topk_hits(model, kind, inputs, k_max, train_rows=None,
              if train_rows is not None else None),
             k_max, fetch, interpret=interpret, mixture=mixture)
     except Exception as error:
+        if not _propagate_to_fallback(error):
+            raise
         _note_fallback('_streaming_topk_hits', error)
         return None
 

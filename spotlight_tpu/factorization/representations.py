@@ -111,14 +111,17 @@ class BilinearNet:
         return user_embeddings, item_embeddings, user_biases, item_biases
 
     def sharded(self, axis='model', num_shards=1, exchange='psum'):
-        """A variant of this representation with every dense embedding table
+        """A variant of this representation with every embedding table
         row-sharded over the given mesh axis.
 
-        Hash-compressed (bloom) layers are left unwrapped — they are small by
-        construction and stay replicated.  The fused layout shards its two
-        fused tables (one collective per side instead of two).
+        The fused layout shards its two fused tables (one collective per
+        side instead of two).  Hash-compressed (bloom) layers shard their
+        *compressed* tables through the same exchange
+        (:class:`~spotlight_tpu.parallel.sharding.ShardedBloomEmbedding`).
         """
-        from spotlight_tpu.parallel.sharding import ShardedEmbedding
+        from spotlight_tpu.ops.embeddings import BloomEmbedding
+        from spotlight_tpu.parallel.sharding import (ShardedBloomEmbedding,
+                                                     ShardedEmbedding)
 
         if self._fused:
             user, item = self._fused_layers()
@@ -133,6 +136,10 @@ class BilinearNet:
                     exchange=exchange))
 
         def wrap(layer):
+            if isinstance(layer, BloomEmbedding):
+                return ShardedBloomEmbedding(
+                    layer, axis=axis, num_shards=num_shards,
+                    exchange=exchange)
             if layer is None or not isinstance(
                     layer, (ScaledEmbedding, ZeroEmbedding)):
                 return layer

@@ -95,6 +95,151 @@ def make_mixture_score_fn(num_mixtures, dim):
     return score
 
 
+def _rank_weight_kernel(users_t_ref, tscore_ref, items_ref, bias_ref,
+                        weight_ref, *, tile_items, score_fn):
+    """One grid step of the lean production rank kernel: score an item
+    tile, accumulate the combined rank weight per target.
+
+    Per (item, user, target) element the contribution is ``1`` for a
+    strictly greater score, ``0.5`` for an exact tie, ``0`` otherwise —
+    the average-tie rank is then ``weight + 0.5`` (the target itself
+    contributes exactly ``0.5``, see :func:`rank_weights`).
+
+    Leaner than :func:`_rank_count_kernel` by construction (the VPU
+    comparison loop is the kernel's binding cost at small batch, see
+    docs/performance.md "Roofline"):
+
+    - no target-id operand, no per-tile iota, no id-exclusion compare —
+      self-exclusion is arithmetic (matched target scores tie exactly);
+    - no validity mask — callers pad ``item_bias`` with ``-FLOAT_MAX``,
+      so padded rows can never contribute;
+    - one fused select chain and ONE accumulator instead of two
+      (2 compares + 2 selects + 1 add per element/target vs ~10 ops).
+
+    Refs (item-major layout):
+        users_t_ref : (K, B)      VMEM, resident across steps
+        tscore_ref  : (T, B)      VMEM, matched target scores
+        items_ref   : (TILE, D)   VMEM, this step's item tile
+        bias_ref    : (TILE, 1)   VMEM (-FLOAT_MAX on padded rows)
+        weight_ref  : (T, B)      VMEM accumulator (same block every step)
+    """
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        weight_ref[:] = jnp.zeros_like(weight_ref)
+
+    scores = score_fn(items_ref[:], users_t_ref[:])
+    scores = scores + bias_ref[:]  # (TILE, 1) broadcasts over users
+
+    num_targets = tscore_ref.shape[0]
+
+    def body(t, _):
+        ts = tscore_ref[pl.ds(t, 1), :]              # (1, B)
+        contrib = jnp.where(
+            scores > ts, 1.0,
+            jnp.where(scores == ts, 0.5, 0.0))
+        weight_ref[pl.ds(t, 1), :] += jnp.sum(contrib, axis=0,
+                                              keepdims=True)
+        return 0
+
+    # fori_loop, not a static unroll (see _rank_count_kernel).
+    jax.lax.fori_loop(0, num_targets, body, 0)
+
+
+def rank_weights(user_reprs, item_matrix, item_bias, target_scores,
+                 tile_items=2048, interpret=False, score_fn=None):
+    """Combined streaming rank weights of target scores vs the catalog.
+
+    ``weights[b, t] = count(score > ts) + 0.5 * count(score == ts)`` over
+    ALL catalog rows **including the target itself** — the average-tie
+    rank is ``weights + 0.5`` (the target ties itself for exactly 0.5).
+
+    REQUIRES matched target scores: ``target_scores`` must be computed
+    with the same arithmetic as the kernel's tile scores
+    (:func:`matched_target_scores` / :func:`matched_candidate_scores`),
+    so the target's self-comparison lands in the tie bucket bit-exactly.
+    For unmatched scores use :func:`rank_counts` (id-based
+    self-exclusion, 1-ulp robust, ~2x the VPU work).
+
+    This is the production evaluation kernel: one accumulator, no target
+    ids, no validity mask (padding rows are excluded by giving them a
+    ``-FLOAT_MAX`` bias, which also covers shard padding in the mesh
+    path).  Replaces the reference's rankdata hot loop
+    (`/root/reference/spotlight/evaluation.py:42-55`).
+
+    Returns
+    -------
+    (B, T) float32 combined weights.
+    """
+    orig_targets = target_scores.shape[1]
+    pad_t = -orig_targets % 8
+    if pad_t:
+        target_scores = jnp.concatenate(
+            [target_scores,
+             jnp.repeat(target_scores[:, :1], pad_t, axis=1)], axis=1)
+    weights = _rank_weights_call(
+        user_reprs, item_matrix, item_bias, target_scores,
+        tile_items=tile_items, interpret=interpret,
+        score_fn=score_fn or _dot_scores)
+    return weights[:, :orig_targets]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('tile_items', 'interpret', 'score_fn'))
+def _rank_weights_call(user_reprs, item_matrix, item_bias, target_scores,
+                       tile_items=2048, interpret=False,
+                       score_fn=_dot_scores):
+    batch, user_rows = user_reprs.shape
+    num_items, dim = item_matrix.shape
+    num_targets = target_scores.shape[1]
+
+    padded_items = pl.cdiv(num_items, tile_items) * tile_items
+    pad = padded_items - num_items
+    if pad:
+        # Padding rows carry a -FLOAT_MAX bias: their scores can never
+        # exceed or tie a real target score, so no validity mask is
+        # needed in the kernel.
+        item_matrix = jnp.concatenate(
+            [item_matrix, jnp.zeros((pad, dim), item_matrix.dtype)])
+        item_bias = jnp.concatenate(
+            [item_bias,
+             jnp.full((pad,), -jnp.finfo(jnp.float32).max,
+                      item_bias.dtype)])
+
+    grid = (padded_items // tile_items,)
+    kernel = functools.partial(_rank_weight_kernel,
+                               tile_items=tile_items,
+                               score_fn=score_fn)
+
+    weights_t = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((user_rows, batch), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_targets, batch), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_items, dim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_items, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((num_targets, batch), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_targets, batch), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * batch * user_rows * padded_items +
+            2 * batch * num_targets * padded_items,
+            bytes_accessed=padded_items * dim * 4 + batch * user_rows * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(user_reprs.T, target_scores.T, item_matrix, item_bias[:, None])
+
+    return weights_t.T
+
+
 def _rank_count_kernel(users_t_ref, tscore_ref, tid_ref, items_ref, bias_ref,
                        greater_ref, equal_ref, *, valid_items, tile_items,
                        score_fn):

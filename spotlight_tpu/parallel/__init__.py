@@ -20,10 +20,12 @@ from spotlight_tpu.parallel import multihost  # noqa: F401
 from spotlight_tpu.parallel.evaluation import (  # noqa: F401
     sharded_candidate_scores,
     sharded_rank_counts,
+    sharded_rank_weights,
     sharded_topk,
 )
 from spotlight_tpu.parallel.mesh import make_mesh  # noqa: F401
 from spotlight_tpu.parallel.sharding import (  # noqa: F401
+    ShardedBloomEmbedding,
     ShardedEmbedding,
     shard_params,
 )

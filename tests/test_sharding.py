@@ -146,9 +146,11 @@ def test_implicit_distributed_learns():
     assert mrr_score(model, test, train=train).mean() > 0.03
 
 
-def test_bloom_tables_replicate_on_mesh():
-    """Bloom-compressed layers stay replicated (they are small by
-    construction); the mixed sharded-bias/replicated-table model trains."""
+def test_bloom_tables_shard_on_mesh():
+    """Bloom-compressed tables row-shard over 'model' like any other
+    table (round-4: the compressed table is a plain table of hashed
+    rows); the sharded model's training run is exactly equal to the
+    replicated-bloom single-device run."""
     from spotlight_tpu.factorization import BilinearNet
     from spotlight_tpu.ops import BloomEmbedding
 
@@ -157,24 +159,89 @@ def test_bloom_tables_replicate_on_mesh():
     train, test = random_train_test_split(
         interactions, random_state=np.random.RandomState(0))
 
-    representation = BilinearNet(
-        train.num_users, train.num_items, 16,
-        user_embedding_layer=BloomEmbedding(train.num_users, 16,
-                                            compression_ratio=0.5),
-        item_embedding_layer=BloomEmbedding(train.num_items, 16,
-                                            compression_ratio=0.5))
-    model = ImplicitFactorizationModel(
-        loss='bpr', n_iter=2, batch_size=256,
-        representation=representation, mesh=make_mesh(data=2, model=4),
-        random_state=np.random.RandomState(42))
-    model.fit(train)
+    def build(mesh):
+        representation = BilinearNet(
+            train.num_users, train.num_items, 16,
+            user_embedding_layer=BloomEmbedding(train.num_users, 16,
+                                                compression_ratio=0.5),
+            item_embedding_layer=BloomEmbedding(train.num_items, 16,
+                                                compression_ratio=0.5))
+        model = ImplicitFactorizationModel(
+            loss='bpr', n_iter=2, batch_size=256,
+            representation=representation, mesh=mesh,
+            random_state=np.random.RandomState(42))
+        model.fit(train)
+        return model
 
-    # Compressed tables replicated, bias tables row-sharded.
+    model = build(make_mesh(data=2, model=4))
+
+    # Compressed tables AND bias tables row-sharded over 'model'.
     specs = model._param_specs
-    assert specs['user_embeddings']['weight'] == P()
+    assert specs['user_embeddings']['weight'] == P('model', None)
     assert specs['user_biases']['weight'] == P('model', None)
     assert model.predict(0).shape == (90,)
     assert np.isfinite(mrr_score(model, test).mean())
+
+
+def test_sharded_bloom_lookup_and_gradients_match_replicated():
+    """The sharded bloom lookup (hashed-row exchange + k-sum) and its
+    gradients are exactly equal to the replicated BloomEmbedding's."""
+    from spotlight_tpu.ops import BloomEmbedding
+    from spotlight_tpu.parallel import ShardedBloomEmbedding
+
+    mesh = make_mesh(data=2, model=4)
+    inner = BloomEmbedding(500, 16, compression_ratio=0.41,  # ragged: 205
+                           num_hash_functions=4)
+    layer = ShardedBloomEmbedding(inner, axis='model', num_shards=4)
+
+    params = layer.init(jax.random.PRNGKey(0))
+    assert params['weight'].shape == (208, 16)  # 205 padded to 4 shards
+    replicated = {'weight': params['weight'][:205]}
+    sharded_p = shard_params(params, layer.spec(), mesh)
+
+    ids = jnp.asarray(
+        np.random.RandomState(0).randint(0, 500, size=(2, 64)),
+        dtype=jnp.int32)
+    ids = ids.at[0, 0].set(0)  # exercise the frozen padding row
+
+    dense = inner.apply(replicated, ids)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(layer.spec(), P('data', None)),
+                       out_specs=P('data', None, None),
+                       check_vma=True)
+    def lookup(p, batch_ids):
+        return layer.apply(p, batch_ids)
+
+    sharded = lookup(sharded_p, ids)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
+                               rtol=0, atol=0)
+
+    # Global view (evaluation path): plain gather over the padded table.
+    np.testing.assert_allclose(np.asarray(layer.apply(params, ids)),
+                               np.asarray(dense), rtol=0, atol=0)
+
+    # Gradients land on the owning shard's compressed rows, matching the
+    # replicated layer's scatter-adds (padding row gets none).
+    def dense_loss(p):
+        return (inner.apply({'weight': p['weight'][:205]}, ids) ** 2).sum()
+
+    dense_grads = jax.grad(dense_loss)(params)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(layer.spec(), P('data', None)),
+                       out_specs=layer.spec(),
+                       check_vma=True)
+    def sharded_grads_fn(p, batch_ids):
+        def local_loss(p):
+            return (layer.apply(p, batch_ids) ** 2).sum()
+        return jax.grad(local_loss)(p)
+
+    sharded_grads = sharded_grads_fn(sharded_p, ids)
+    np.testing.assert_allclose(np.asarray(sharded_grads['weight']),
+                               np.asarray(dense_grads['weight']),
+                               rtol=1e-5, atol=1e-6)
+    assert np.asarray(sharded_grads['weight'])[0].sum() == 0.0
 
 
 @pytest.mark.parametrize('representation', ['pooling', 'cnn', 'mixture'])

@@ -501,3 +501,62 @@ def test_streaming_mixture_mrr_on_mesh_matches():
                                                    streaming=True)
     np.testing.assert_allclose(p_str, p_std, rtol=1e-6)
     np.testing.assert_allclose(r_str, r_std, rtol=1e-6)
+
+
+def test_rank_weights_matches_rank_counts_matched():
+    """The lean production kernel (self-inclusive combined weights, no id
+    exclusion) must agree exactly with the general (greater, equal)
+    kernel whenever target scores are kernel-matched:
+    ``weights == greater + 0.5 * (equal + 1)``."""
+    import jax.numpy as jnp
+    from spotlight_tpu.ops.kernels.ranking import (matched_target_scores,
+                                                   rank_counts,
+                                                   rank_weights)
+
+    rs = np.random.RandomState(7)
+    B, D, N, T = 8, 16, 700, 5
+    users = jnp.asarray(rs.randn(B, D).astype(np.float32))
+    items_np = rs.randn(N, D).astype(np.float32)
+    items_np[9] = items_np[3]  # an exact duplicate row forces a tie
+    items = jnp.asarray(items_np)
+    bias_np = rs.randn(N).astype(np.float32)
+    bias_np[9] = bias_np[3]
+    bias = jnp.asarray(bias_np)
+    tids = jnp.asarray(rs.randint(0, N, (B, T)).astype(np.int32))
+    tids = tids.at[:, 0].set(3)  # every row targets the duplicated item
+
+    ts = matched_target_scores(users, items, bias, tids)
+    weights = rank_weights(users, items, bias, ts, tile_items=256,
+                           interpret=True)
+    greater, equal = rank_counts(users, items, bias, ts, tids,
+                                 tile_items=256, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(weights),
+        np.asarray(greater + 0.5 * (equal + 1.0)))
+    # The duplicate row produced a real tie (0.5 steps beyond the self
+    # tie), so the equality above exercised the tie bucket.
+    assert np.any(np.asarray(equal)[:, 0] == 1.0)
+
+
+def test_rank_weights_padding_rows_never_count():
+    """Catalog sizes that are not tile multiples pad with -FLOAT_MAX-bias
+    rows; those rows must contribute zero weight even for targets with
+    very low scores."""
+    import jax.numpy as jnp
+    from spotlight_tpu.ops.kernels.ranking import (matched_target_scores,
+                                                   rank_weights)
+
+    rs = np.random.RandomState(11)
+    B, D, N = 4, 8, 130           # pads 126 rows at tile 256
+    users = jnp.asarray(rs.randn(B, D).astype(np.float32))
+    items = jnp.asarray(rs.randn(N, D).astype(np.float32))
+    bias = jnp.asarray(np.full(N, -1e30, np.float32))  # very low scores
+    tids = jnp.zeros((B, 1), jnp.int32)
+
+    ts = matched_target_scores(users, items, bias, tids)
+    weights = rank_weights(users, items, bias, ts, tile_items=256,
+                           interpret=True)
+    scores = np.asarray(users @ items.T + bias[None])
+    expected = ((scores > scores[:, :1]).sum(axis=1)
+                + 0.5 * (scores == scores[:, :1]).sum(axis=1))
+    np.testing.assert_array_equal(np.asarray(weights)[:, 0], expected)
