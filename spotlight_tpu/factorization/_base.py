@@ -84,10 +84,13 @@ class _FactorizationBase(SerializableEstimatorMixin):
         if self._optimizer_func is not None:
             return ('a custom optimizer_func is set (row-sparse lazy Adam '
                     'IS the optimizer)')
-        if self._mesh is not None and self._exchange != 'psum':
-            return ("mesh training uses exchange='{}' (only the default "
-                    "'psum' exchange composes with the lazy engine)"
-                    .format(self._exchange))
+        if (self._mesh is not None and self._exchange == 'alltoall_cf'
+                and getattr(self, '_negative_sampling',
+                            'uniform') == 'in_batch'):
+            return ("exchange='alltoall_cf' shards the batch over the "
+                    'model axis too, which would change the in-batch '
+                    'negative roll width (use the psum/alltoall exchanges '
+                    "with negative_sampling='in_batch')")
         return None
 
     def _use_lazy_engine(self):

@@ -102,7 +102,8 @@ class ExplicitFactorizationModel(_FactorizationBase):
                 net, self._loss, self._num_items, num_batches,
                 self._batch_size, self._learning_rate, self._l2,
                 num_negatives=0, explicit=True,
-                mesh=self._mesh, param_specs=self._param_specs)
+                mesh=self._mesh, param_specs=self._param_specs,
+                exchange=self._exchange)
             self._epoch_fn_cache[num_batches] = epoch_fn
             return epoch_fn
 

@@ -126,7 +126,8 @@ class ImplicitFactorizationModel(_FactorizationBase):
                 self._batch_size, self._learning_rate, self._l2,
                 self._num_negative_samples,
                 negative_sampling=self._negative_sampling,
-                mesh=self._mesh, param_specs=self._param_specs)
+                mesh=self._mesh, param_specs=self._param_specs,
+                exchange=self._exchange)
             self._epoch_fn_cache[num_batches] = epoch_fn
             return epoch_fn
 

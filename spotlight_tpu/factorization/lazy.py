@@ -54,6 +54,8 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from spotlight_tpu.ops.lazy_adam import lazy_adam_init, sparse_adam_rows
+from spotlight_tpu.parallel.sharding import (alltoall_capacity_lookup,
+                                             alltoall_lookup)
 from spotlight_tpu.ops.losses import (adaptive_hinge_loss, bpr_loss,
                                       hinge_loss, logistic_loss,
                                       pointwise_loss, poisson_loss,
@@ -124,13 +126,30 @@ def _owned_row_update(table, mu, nu, ids, grad_rows, t, learning_rate, l2,
 def build_lazy_epoch_fn(net, loss, num_items, num_batches, batch_size,
                         learning_rate, l2, num_negatives, explicit=False,
                         negative_sampling='uniform', mesh=None,
-                        param_specs=None):
+                        param_specs=None, exchange='psum'):
     """Compile the row-sparse epoch for a fused-layout BilinearNet.
 
     Mirrors :func:`spotlight_tpu.utils.training.build_epoch_fn`'s
     signature contract: ``epoch_fn(params, opt_state, key, data, n_valid)``
     with ``opt_state`` from :func:`lazy_adam_init` (sharded with
     :func:`lazy_opt_specs` on a mesh).
+
+    ``exchange`` selects the mesh lookup collective (round-4 VERDICT
+    item 5; single-device engines ignore it):
+
+    - ``'psum'`` — vocab-parallel partial-row psum; batch sharded over
+      ``'data'`` only (every model shard redundantly recomputes its data
+      row's loss).
+    - ``'alltoall'`` — the three-phase id exchange at the same batch
+      sharding.
+    - ``'alltoall_cf'`` — the capacity-factored exchange with the batch
+      sharded over BOTH axes: per-device forward compute and exchange
+      volume drop by the model-shard count, and the update stream is
+      ``all_gather``-ed over the flattened (data, model) axes in global
+      batch order, so results stay **bit-identical** to the psum engine
+      (same stream order into the duplicate-id segment sums; the update
+      all_gather volume itself is irreducible without capacity-dropping
+      gradient rows — docs/parallelism.md "Lazy x cf composition").
     """
     dim = net.embedding_dim
     loss_func = (_EXPLICIT_LOSSES if explicit else _IMPLICIT_LOSSES)[loss]
@@ -176,7 +195,7 @@ def build_lazy_epoch_fn(net, loss, num_items, num_batches, batch_size,
     return _build_distributed(net, loss, num_items, num_batches,
                               batch_size, learning_rate, l2, n_neg,
                               explicit, in_batch, stacked_scores, dim,
-                              mesh, param_specs)
+                              mesh, param_specs, exchange)
 
 
 def _batch_item_ids(batch, batch_key, num_items, n_neg, explicit, in_batch,
@@ -265,32 +284,58 @@ def _build_single_device(net, loss, num_items, num_batches, batch_size,
 
 def _build_distributed(net, loss, num_items, num_batches, batch_size,
                        learning_rate, l2, n_neg, explicit, in_batch,
-                       stacked_scores, dim, mesh, param_specs):
-    """Mesh engine: row-sharded tables/moments + data-sharded batches.
+                       stacked_scores, dim, mesh, param_specs,
+                       exchange='psum'):
+    """Mesh engine: row-sharded tables/moments + sharded batches.
 
     Per step each device (d, m):
 
-    1. assembles the full fused rows for its data shard's batch slice with
-       the vocab-parallel gather+psum (the same exchange the dense psum
-       engine uses through ShardedEmbedding);
+    1. assembles the full fused rows for its batch slice through the
+       configured exchange — the vocab-parallel gather+psum or three-phase
+       all-to-all at data-axis batch sharding, or the capacity-factored
+       all-to-all with the batch sharded over BOTH axes
+       (``exchange='alltoall_cf'``: per-device forward work is 1/S of the
+       psum mode's — no redundant loss recomputation across model
+       shards);
     2. computes the loss on its local slice against the *global* mask
        denominator, so per-occurrence row cotangents are bit-identical to
        the single-device engine's;
-    3. ``all_gather``s the (B, D+1) per-occurrence gradient rows over
-       ``'data'`` — batch order is preserved, so duplicate-id segment sums
-       reduce in the single-device order;
+    3. ``all_gather``s the (B, D+1) per-occurrence gradient rows over the
+       batch-sharding axes — batch order is preserved (``'data'`` major,
+       ``'model'`` minor in cf mode, matching the ``P(('data','model'))``
+       batch layout), so duplicate-id segment sums reduce in the
+       single-device order;
     4. applies :func:`sparse_adam_rows` to the rows shard ``m`` owns.
 
-    All data-axis replicas of a model shard compute identical updates, so
-    the P('model') sharding of tables and moments is preserved.  In-batch
+    All batch-replicas of a model shard compute identical updates, so the
+    P('model') sharding of tables and moments is preserved.  In-batch
     negatives roll within the local batch slice, matching the dense mesh
-    engine's semantics.
+    engine's semantics (cf excludes in-batch at the estimator level: the
+    roll width would change with the model-shard count).
     """
     from jax import shard_map
 
     opt_specs = lazy_opt_specs(param_specs)
     data_shards = mesh.shape['data']
-    local_batch = batch_size // data_shards
+    cf = exchange == 'alltoall_cf'
+    batch_shards = data_shards * (mesh.shape['model'] if cf else 1)
+    batch_axes = ('data', 'model') if cf else 'data'
+    local_batch = batch_size // batch_shards
+
+    def gather_rows(table, ids):
+        if exchange == 'alltoall':
+            # Assembled rows are value-identical to the psum exchange's
+            # (unit-verified bit-equal), but the exchange's different
+            # producer graph shifts XLA's codegen of the downstream loss
+            # by ~1 ulp per step (measured ~3e-6 parameter drift after an
+            # epoch; an optimization_barrier does not remove it) — this
+            # mode is numerically equivalent, not bit-identical.  The cf
+            # and psum modes ARE bit-identical to single-device.
+            return alltoall_lookup(table, ids)
+        if cf:
+            rows, _overflow = alltoall_capacity_lookup(table, ids)
+            return rows
+        return _sharded_gather(table, ids)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnums=(4,))
     def epoch_fn(params, opt_state, key, data, n_valid):
@@ -298,7 +343,7 @@ def _build_distributed(net, loss, num_items, num_batches, batch_size,
         batched = shuffle_and_batch(perm_key, data, n_valid, num_batches,
                                     batch_size)
         batch_keys = jax.random.split(negatives_key, num_batches)
-        batch_specs = {name: P('data') for name in batched}
+        batch_specs = {name: P(batch_axes) for name in batched}
 
         @functools.partial(
             shard_map, mesh=mesh,
@@ -312,36 +357,41 @@ def _build_distributed(net, loss, num_items, num_batches, batch_size,
 
             u_table = params['user_embeddings']['weight']
             i_table = params['item_embeddings']['weight']
-            offset = jax.lax.axis_index('data') * local_batch
+            if cf:
+                block = (jax.lax.axis_index('data') * mesh.shape['model']
+                         + jax.lax.axis_index('model'))
+            else:
+                block = jax.lax.axis_index('data')
+            offset = block * local_batch
             all_items, flat_items = _batch_item_ids(
                 batch, batch_key, num_items, n_neg, explicit, in_batch,
                 batch_columns=batch_size, column_offset=offset)
 
-            u_rows = _sharded_gather(u_table, users).astype(jnp.float32)
-            i_rows = _sharded_gather(i_table,
-                                     flat_items).astype(jnp.float32)
+            u_rows = gather_rows(u_table, users).astype(jnp.float32)
+            i_rows = gather_rows(i_table, flat_items).astype(jnp.float32)
 
             def batch_loss(u_rows, i_rows):
                 elems = stacked_scores(u_rows, i_rows, batch)
-                count = jax.lax.psum(jnp.sum(mask), 'data')
+                count = jax.lax.psum(jnp.sum(mask), batch_axes)
                 return jnp.sum(elems * mask) / jnp.maximum(count, 1.0)
 
             local_loss, (gu, gi) = jax.value_and_grad(
                 batch_loss, argnums=(0, 1))(u_rows, i_rows)
-            loss_value = jax.lax.psum(local_loss, 'data')
+            loss_value = jax.lax.psum(local_loss, batch_axes)
 
-            all_users = jax.lax.all_gather(users, 'data', tiled=True)
-            all_gu = jax.lax.all_gather(gu, 'data', tiled=True)
+            all_users = jax.lax.all_gather(users, batch_axes, tiled=True)
+            all_gu = jax.lax.all_gather(gu, batch_axes, tiled=True)
             # Gather item occurrences along the *batch* axis per role
             # (positives / each negative column), so the flattened global
             # order is [positives ++ negatives] exactly like the
             # single-device engine's — duplicate-id segment sums then
             # reduce in the identical order (bit-parity).
             all_item_ids = jax.lax.all_gather(
-                all_items, 'data', axis=1, tiled=True).reshape(-1)
+                all_items, batch_axes, axis=1, tiled=True).reshape(-1)
             gi_roles = gi.reshape(all_items.shape + (dim + 1,))
             all_gi = jax.lax.all_gather(
-                gi_roles, 'data', axis=1, tiled=True).reshape(-1, dim + 1)
+                gi_roles, batch_axes, axis=1, tiled=True).reshape(-1,
+                                                                  dim + 1)
 
             u_table, mu_u, nu_u = _owned_row_update(
                 u_table, opt['mu']['user_embeddings']['weight'],

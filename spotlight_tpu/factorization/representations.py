@@ -332,8 +332,16 @@ class BilinearNet:
         all_items = jnp.arange(self.num_items, dtype=jnp.int32)
         if self._fused:
             dim = self.embedding_dim
-            rows = self._fused_rows(params, item_ids=all_items)
-            return rows[:, :dim], rows[:, dim]
+            # No f32 upcast of the factor matrix: a bf16 table streams
+            # bf16 through the eval kernels (half the HBM bytes per
+            # catalog pass; the in-tile upcast is value-exact, so ranks
+            # are bit-identical — ops/kernels/ranking._dot_scores).
+            # ShardedEmbedding.apply already returns the storage dtype;
+            # FusedBiasEmbedding needs its raw (uncast) gather.
+            _user, item = self._fused_layers()
+            raw = getattr(item, 'apply_raw', item.apply)
+            rows = raw(params['item_embeddings'], all_items)
+            return rows[:, :dim], rows[:, dim].astype(jnp.float32)
 
         _user_emb, item_emb, _user_bias, item_bias = self._layers()
         matrix = item_emb.apply(params['item_embeddings'], all_items)

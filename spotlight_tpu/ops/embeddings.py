@@ -150,6 +150,12 @@ class FusedBiasEmbedding:
         rows = _masked_gather(params['weight'], ids, self.padding_idx)
         return rows.astype(jnp.float32)
 
+    def apply_raw(self, params, ids):
+        """Gather rows in the table's storage dtype (no f32 upcast) — the
+        catalog-densification path streams bf16 tables as bf16 through
+        the eval kernels (the in-tile upcast is value-exact)."""
+        return _masked_gather(params['weight'], ids, self.padding_idx)
+
 
 @dataclasses.dataclass(frozen=True)
 class ScaledEmbeddingBag:

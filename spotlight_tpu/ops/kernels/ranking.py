@@ -40,7 +40,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _dot_scores(items, users_t):
-    """Default per-tile scoring: one (TILE, D) @ (D, B) MXU matmul."""
+    """Default per-tile scoring: one (TILE, D) @ (D, B) MXU matmul.
+
+    ``items`` may arrive in bfloat16 (bf16 catalog streaming halves the
+    tile's HBM bytes); the cast back to the user operand's float32 is
+    value-exact, so scores — and therefore ranks and tie comparisons —
+    are bit-identical to streaming the f32-cast table."""
+    if items.dtype != users_t.dtype:
+        items = items.astype(users_t.dtype)
     return jnp.dot(items, users_t, preferred_element_type=jnp.float32)
 
 
@@ -80,6 +87,8 @@ def make_mixture_score_fn(num_mixtures, dim):
     mixture loop unrolls to straight-line MXU/VPU code.
     """
     def score(items, users_t):
+        if items.dtype != users_t.dtype:
+            items = items.astype(users_t.dtype)
         tastes, attns = [], []
         for m in range(num_mixtures):
             lo = m * dim
@@ -96,7 +105,7 @@ def make_mixture_score_fn(num_mixtures, dim):
 
 
 def _rank_weight_kernel(users_t_ref, tscore_ref, items_ref, bias_ref,
-                        weight_ref, *, tile_items, score_fn):
+                        weight_ref, *, tile_items, score_fn, real_targets):
     """One grid step of the lean production rank kernel: score an item
     tile, accumulate the combined rank weight per target.
 
@@ -132,8 +141,6 @@ def _rank_weight_kernel(users_t_ref, tscore_ref, items_ref, bias_ref,
     scores = score_fn(items_ref[:], users_t_ref[:])
     scores = scores + bias_ref[:]  # (TILE, 1) broadcasts over users
 
-    num_targets = tscore_ref.shape[0]
-
     def body(t, _):
         ts = tscore_ref[pl.ds(t, 1), :]              # (1, B)
         contrib = jnp.where(
@@ -143,8 +150,13 @@ def _rank_weight_kernel(users_t_ref, tscore_ref, items_ref, bias_ref,
                                               keepdims=True)
         return 0
 
-    # fori_loop, not a static unroll (see _rank_count_kernel).
-    jax.lax.fori_loop(0, num_targets, body, 0)
+    # fori_loop, not a static unroll (see _rank_count_kernel).  The loop
+    # covers only the REAL targets (the 8-sublane block padding never
+    # enters the VPU comparison loop — its accumulator rows stay at the
+    # step-0 zeros): the comparison loop is the kernel's binding cost, so
+    # at T=1 (sequence MRR) this alone is ~8x less VPU work than looping
+    # the padded width.
+    jax.lax.fori_loop(0, real_targets, body, 0)
 
 
 def rank_weights(user_reprs, item_matrix, item_bias, target_scores,
@@ -181,18 +193,21 @@ def rank_weights(user_reprs, item_matrix, item_bias, target_scores,
     weights = _rank_weights_call(
         user_reprs, item_matrix, item_bias, target_scores,
         tile_items=tile_items, interpret=interpret,
-        score_fn=score_fn or _dot_scores)
+        score_fn=score_fn or _dot_scores, real_targets=orig_targets)
     return weights[:, :orig_targets]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('tile_items', 'interpret', 'score_fn'))
+                   static_argnames=('tile_items', 'interpret', 'score_fn',
+                                    'real_targets'))
 def _rank_weights_call(user_reprs, item_matrix, item_bias, target_scores,
                        tile_items=2048, interpret=False,
-                       score_fn=_dot_scores):
+                       score_fn=_dot_scores, real_targets=None):
     batch, user_rows = user_reprs.shape
     num_items, dim = item_matrix.shape
     num_targets = target_scores.shape[1]
+    if real_targets is None:
+        real_targets = num_targets
 
     padded_items = pl.cdiv(num_items, tile_items) * tile_items
     pad = padded_items - num_items
@@ -210,7 +225,8 @@ def _rank_weights_call(user_reprs, item_matrix, item_bias, target_scores,
     grid = (padded_items // tile_items,)
     kernel = functools.partial(_rank_weight_kernel,
                                tile_items=tile_items,
-                               score_fn=score_fn)
+                               score_fn=score_fn,
+                               real_targets=real_targets)
 
     weights_t = pl.pallas_call(
         kernel,
@@ -242,7 +258,7 @@ def _rank_weights_call(user_reprs, item_matrix, item_bias, target_scores,
 
 def _rank_count_kernel(users_t_ref, tscore_ref, tid_ref, items_ref, bias_ref,
                        greater_ref, equal_ref, *, valid_items, tile_items,
-                       score_fn):
+                       score_fn, real_targets):
     """One grid step: score a tile of items against all users, accumulate
     per-target comparison counts.
 
@@ -279,8 +295,6 @@ def _rank_count_kernel(users_t_ref, tscore_ref, tid_ref, items_ref, bias_ref,
     global_row = base + row
     in_range = global_row < valid_items
 
-    num_targets = tscore_ref.shape[0]
-
     def counts_at(t):
         ts = tscore_ref[pl.ds(t, 1), :]              # (1, B)
         tid = tid_ref[pl.ds(t, 1), :]                # (1, B)
@@ -302,7 +316,9 @@ def _rank_count_kernel(users_t_ref, tscore_ref, tid_ref, items_ref, bias_ref,
     # A fori_loop (not a static unroll) even for tiny T: unrolled bodies
     # were measured ~10x slower here (Mosaic scheduled their static-offset
     # accumulator writes poorly), and the loop keeps VMEM flat in T.
-    jax.lax.fori_loop(0, num_targets, body, 0)
+    # Only the REAL targets are looped; sublane-padding rows keep their
+    # step-0 zeros (see _rank_weight_kernel).
+    jax.lax.fori_loop(0, real_targets, body, 0)
 
 
 def rank_counts(user_reprs, item_matrix, item_bias, target_scores,
@@ -354,18 +370,21 @@ def rank_counts(user_reprs, item_matrix, item_bias, target_scores,
     greater, equal = _rank_counts_call(
         user_reprs, item_matrix, item_bias, target_scores, target_ids,
         tile_items=tile_items, interpret=interpret,
-        score_fn=score_fn or _dot_scores)
+        score_fn=score_fn or _dot_scores, real_targets=orig_targets)
     return greater[:, :orig_targets], equal[:, :orig_targets]
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('tile_items', 'interpret', 'score_fn'))
+                   static_argnames=('tile_items', 'interpret', 'score_fn',
+                                    'real_targets'))
 def _rank_counts_call(user_reprs, item_matrix, item_bias, target_scores,
                       target_ids, tile_items=512, interpret=False,
-                      score_fn=_dot_scores):
+                      score_fn=_dot_scores, real_targets=None):
     batch, user_rows = user_reprs.shape
     num_items, dim = item_matrix.shape
     num_targets = target_scores.shape[1]
+    if real_targets is None:
+        real_targets = num_targets
 
     padded_items = pl.cdiv(num_items, tile_items) * tile_items
     pad = padded_items - num_items
@@ -379,7 +398,8 @@ def _rank_counts_call(user_reprs, item_matrix, item_bias, target_scores,
     kernel = functools.partial(_rank_count_kernel,
                                valid_items=num_items,
                                tile_items=tile_items,
-                               score_fn=score_fn)
+                               score_fn=score_fn,
+                               real_targets=real_targets)
 
     greater_t, equal_t = pl.pallas_call(
         kernel,
@@ -443,6 +463,9 @@ def matched_target_scores(user_reprs, item_matrix, item_bias, safe_targets,
         stop = min(start + chunk, num_targets)
         tgt = jax.lax.slice_in_dim(safe_targets, start, stop, axis=1)
         rows = item_matrix[tgt.reshape(-1)]                 # (B*C, D)
+        # bf16 catalogs: the same exact-valued upcast the kernel tiles
+        # apply (see _dot_scores), so ties stay bit-exact.
+        rows = rows.astype(users_t.dtype)
         prod = jnp.dot(rows, users_t,
                        preferred_element_type=jnp.float32)  # (B*C, B)
         prod = prod.reshape(batch, stop - start, batch)

@@ -261,8 +261,20 @@ class _ItemRepresentationBase:
 
     def _catalog_matrix(self, params):
         """Densified (num_items, dim) item matrix and (num_items,) bias —
-        works for plain, fused, bloom-compressed, and row-sharded layers."""
+        works for plain, fused, bloom-compressed, and row-sharded layers.
+
+        The factor matrix keeps the table's storage dtype (no f32 upcast):
+        a ``table_dtype=bfloat16`` catalog streams bf16 through the eval
+        kernels — half the HBM bytes per pass — and the in-tile upcast is
+        value-exact, so ranks match the f32-upcast path bit-for-bit
+        (`ops/kernels/ranking._dot_scores`)."""
         all_items = jnp.arange(self.num_items, dtype=jnp.int32)
+        if self._fused:
+            layer = self._fused_layer()
+            raw = getattr(layer, 'apply_raw', layer.apply)
+            rows = raw(params['item_embeddings'], all_items)
+            return (rows[..., :self.embedding_dim],
+                    rows[..., self.embedding_dim].astype(jnp.float32))
         return self._target_rows(params, all_items)
 
     def score_catalog(self, params, final_representations):

@@ -148,3 +148,38 @@ def test_lazy_engine_volume_independent_of_table_size():
     gathers = 2 * (BATCH * 4 + BATCH * WIDTH * 4)
     assert lazy_small.get('all-to-all', 0) == 0
     assert lazy_small['all-gather'] == gathers
+
+
+def test_lazy_exchange_volume_pinned():
+    """Lazy engine x exchanges (round-4 VERDICT item 5).  The cf mode's
+    composition win, pinned from compiled HLO:
+
+    - forward lookup volume drops by exactly the model-shard count vs the
+      replicated all-to-all mode (batch sharded over BOTH axes), and the
+      psum mode's activation-sized row reductions disappear entirely;
+    - the update stream (ids + per-occurrence gradient rows, all_gathered
+      in global batch order for bit-parity) stays global-batch-sized in
+      every mode — irreducible without capacity-dropping gradient rows
+      (docs/parallelism.md "Lazy x cf composition").
+    """
+    psum = _compiled_epoch('psum', sparse=True)
+    a2a = _compiled_epoch('alltoall', sparse=True)
+    cf = _compiled_epoch('alltoall_cf', sparse=True)
+
+    # Update stream identical across modes: ids (s32) + (B, W) rows (f32)
+    # per table, global batch width.
+    gathers = 2 * (BATCH * 4 + BATCH * WIDTH * 4)
+    assert psum['all-gather'] == gathers
+    assert a2a['all-gather'] == gathers
+    assert cf['all-gather'] == gathers
+
+    # Forward exchange: cf = alltoall / MODEL, exactly.
+    per_table_cf = MODEL * N_DM * 4 + MODEL * N_DM * WIDTH * 4
+    assert cf['all-to-all'] == 2 * per_table_cf
+    assert a2a['all-to-all'] == cf['all-to-all'] * MODEL
+
+    # cf and alltoall reduce only the two scalars (loss + mask count);
+    # psum's row assembly adds two activation-sized reductions.
+    assert cf['all-reduce'] == 2 * 4
+    assert a2a['all-reduce'] == 2 * 4
+    assert psum['all-reduce'] == 2 * N_D * WIDTH * 4 + 2 * 4

@@ -8,6 +8,8 @@ engine clears the same statistical gates as the dense engine, resumes,
 and pickles.
 """
 
+import functools
+
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -566,3 +568,108 @@ def test_lazy_sequence_padding_row_stays_frozen():
         np.asarray(moments['nu'])[PADDING_IDX], 0.0)
 
 
+
+@pytest.mark.skipif(len(__import__('jax').devices()) < 8,
+                    reason='needs 8 (virtual) devices')
+@pytest.mark.parametrize('exchange', ['alltoall', 'alltoall_cf'])
+def test_lazy_exchange_modes_match_single_device(exchange):
+    """sparse=True composes with the all-to-all exchanges (round-4 VERDICT
+    item 5).  'alltoall' swaps the vocab-parallel psum for the three-phase
+    id exchange at the same data-axis batch sharding; 'alltoall_cf' shards
+    the batch over BOTH axes (capacity-factored lookups, 1/S per-device
+    forward work) and gathers the update stream over the flattened
+    (data, model) axes in global batch order.
+
+    cf reproduces the single-device lazy parameters **bit-exactly** (same
+    shuffle/negative streams, identical per-row cotangents, identical
+    duplicate-id segment-sum order).  The plain alltoall mode's assembled
+    rows are value-identical but its different producer graph shifts
+    XLA's loss codegen by ~1 ulp/step (documented in
+    `factorization/lazy.gather_rows`), so it is pinned to a tight
+    tolerance instead."""
+    from spotlight_tpu.parallel import make_mesh
+
+    interactions = factorization_dataset(
+        num_users=150, num_items=120, num_interactions=6000)
+
+    def fit(mesh, exch):
+        model = ImplicitFactorizationModel(
+            loss='bpr', embedding_dim=16, n_iter=3, batch_size=256,
+            learning_rate=1e-2, l2=1e-6, sparse=True, mesh=mesh,
+            exchange=exch, random_state=np.random.RandomState(42))
+        model.fit(interactions)
+        assert model._lazy
+        return model
+
+    single = fit(None, 'psum')
+    dist = fit(make_mesh(data=2, model=4), exchange)
+
+    check = (np.testing.assert_array_equal if exchange == 'alltoall_cf'
+             else functools.partial(np.testing.assert_allclose,
+                                    rtol=0, atol=1e-4))
+    check(
+        np.asarray(single._params['item_embeddings']['weight']),
+        np.asarray(dist._params['item_embeddings']['weight'])[:120])
+    check(
+        np.asarray(single._params['user_embeddings']['weight']),
+        np.asarray(dist._params['user_embeddings']['weight'])[:150])
+    # Moments stay sharded like their tables.
+    mu = dist._opt_state['mu']['item_embeddings']['weight']
+    assert len(mu.sharding.device_set) == 8
+
+
+@pytest.mark.skipif(len(__import__('jax').devices()) < 8,
+                    reason='needs 8 (virtual) devices')
+def test_lazy_cf_explicit_matches_psum_mesh():
+    """Explicit estimator, cf-lazy vs psum-lazy on the same mesh:
+    parameters bit-identical (deterministic loss, no negative stream)."""
+    from spotlight_tpu.parallel import make_mesh
+
+    interactions = factorization_dataset(
+        num_users=150, num_items=120, num_interactions=6000, explicit=True)
+
+    def fit(exch):
+        model = ExplicitFactorizationModel(
+            loss='regression', embedding_dim=16, n_iter=3, batch_size=256,
+            learning_rate=1e-2, l2=1e-6, sparse=True,
+            mesh=make_mesh(data=2, model=4), exchange=exch,
+            random_state=np.random.RandomState(42))
+        model.fit(interactions)
+        assert model._lazy
+        return model
+
+    psum = fit('psum')
+    cf = fit('alltoall_cf')
+    np.testing.assert_array_equal(
+        np.asarray(psum._params['item_embeddings']['weight']),
+        np.asarray(cf._params['item_embeddings']['weight']))
+    np.testing.assert_array_equal(
+        np.asarray(psum._params['user_embeddings']['weight']),
+        np.asarray(cf._params['user_embeddings']['weight']))
+
+
+def test_lazy_cf_with_inbatch_falls_back_loudly():
+    """cf + in-batch negatives cannot compose (the roll width would change
+    with the model-shard count): sparse=True must fall back to the dense
+    engine with a RuntimeWarning, never silently."""
+    import warnings
+
+    import jax
+
+    from spotlight_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 (virtual) devices')
+    interactions = factorization_dataset(
+        num_users=150, num_items=120, num_interactions=6000)
+    model = ImplicitFactorizationModel(
+        loss='bpr', embedding_dim=16, n_iter=1, batch_size=256,
+        sparse=True, negative_sampling='in_batch',
+        mesh=make_mesh(data=2, model=4), exchange='alltoall_cf',
+        random_state=np.random.RandomState(0))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter('always')
+        model.fit(interactions)
+    assert not model._lazy
+    assert any('alltoall_cf' in str(w.message) for w in caught
+               if issubclass(w.category, RuntimeWarning))
