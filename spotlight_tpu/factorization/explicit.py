@@ -150,7 +150,8 @@ class ExplicitFactorizationModel(_FactorizationBase):
 
         n = len(user_ids)
         padded, num_batches = training.pad_to_batches(n, self._batch_size)
-        data = training.place_data({
+        # Content-hash-cached placement (see factorization/implicit.py).
+        data = training.placed_data_cached(self, {
             'user_ids': training.pad_array(user_ids, padded),
             'item_ids': training.pad_array(item_ids, padded),
             'ratings': training.pad_array(ratings, padded),

@@ -159,8 +159,18 @@ def _rank_weight_kernel(users_t_ref, tscore_ref, items_ref, bias_ref,
     jax.lax.fori_loop(0, real_targets, body, 0)
 
 
+def _auto_tile_items(batch, budget=1 << 20):
+    """Item-tile rows sized so the (TILE, B) score block stays ~4 MB of
+    VMEM (``budget`` elements) at any user-batch width.  rank_counts
+    holds ~5 live (TILE, B) temporaries per target iteration (scores,
+    iota, countable, two where-masks) vs rank_weights' ~2, so it uses a
+    quarter budget — B=1024 at tile 512 was measured to exceed the 16 MB
+    scoped-vmem limit by 6 MB."""
+    return max(256, min(4096, budget // max(batch, 1)))
+
+
 def rank_weights(user_reprs, item_matrix, item_bias, target_scores,
-                 tile_items=2048, interpret=False, score_fn=None):
+                 tile_items=None, interpret=False, score_fn=None):
     """Combined streaming rank weights of target scores vs the catalog.
 
     ``weights[b, t] = count(score > ts) + 0.5 * count(score == ts)`` over
@@ -184,6 +194,8 @@ def rank_weights(user_reprs, item_matrix, item_bias, target_scores,
     -------
     (B, T) float32 combined weights.
     """
+    if tile_items is None:
+        tile_items = _auto_tile_items(user_reprs.shape[0])
     orig_targets = target_scores.shape[1]
     pad_t = -orig_targets % 8
     if pad_t:
@@ -322,7 +334,8 @@ def _rank_count_kernel(users_t_ref, tscore_ref, tid_ref, items_ref, bias_ref,
 
 
 def rank_counts(user_reprs, item_matrix, item_bias, target_scores,
-                target_ids, tile_items=512, interpret=False, score_fn=None):
+                target_ids, tile_items=None, interpret=False,
+                score_fn=None):
     """Streaming comparison counts of target scores against the catalog.
 
     Parameters
@@ -353,6 +366,8 @@ def rank_counts(user_reprs, item_matrix, item_bias, target_scores,
     ``fori_loop`` on the sublane axis, so VMEM usage and compile time do not
     grow with T (the catalog is still read exactly once).
     """
+    if tile_items is None:
+        tile_items = _auto_tile_items(user_reprs.shape[0], budget=1 << 18)
     # Pad the target axis to the 8-sublane minimum *outside* the jitted
     # call: narrower blocks force degenerate layouts, and folding the pad
     # into the compiled program measured ~10x slower through the dev

@@ -102,7 +102,16 @@ def _topk_kernel(users_t_ref, resume_score_ref, resume_id_ref, items_ref,
     jax.lax.fori_loop(0, k, select, 0)
 
 
-def streaming_topk(user_reprs, item_matrix, item_bias, k, tile_items=1024,
+def _auto_tile_items(batch, k):
+    """Tile rows sized so the two (TILE + k, B) scratch pools stay ~4 MB
+    of VMEM at any user-batch width (B=1024 at the old fixed 1024-row
+    tile was measured to exceed the 16 MB scoped-vmem limit by ~3 MB).
+    Multiple of 256 (sublane-aligned block shapes)."""
+    budget = (1 << 19) // max(batch, 1) - k
+    return max(256, min(1024, (budget // 256) * 256))
+
+
+def streaming_topk(user_reprs, item_matrix, item_bias, k, tile_items=None,
                    interpret=False, score_fn=None):
     """Exact top-k catalog items per user without materializing scores.
 
@@ -132,6 +141,8 @@ def streaming_topk(user_reprs, item_matrix, item_bias, k, tile_items=1024,
         raise ValueError('k ({}) exceeds the catalog size ({})'
                          .format(k, num_items))
     batch = user_reprs.shape[0]
+    if tile_items is None:
+        tile_items = _auto_tile_items(batch, min(k, ROUND_K))
     score_fn = score_fn or _dot_scores
     if k <= ROUND_K:
         return _streaming_topk_call(user_reprs, item_matrix, item_bias, k,

@@ -42,6 +42,7 @@ _UNPICKLABLE_FIELDS = (
     '_epoch_fn_cache',
     '_rank_factors_jit',
     '_item_factor_cache',
+    '_placed_data_cache',  # device-resident epoch data (fit-to-fit reuse)
     '_mesh',               # holds live device objects; re-set after load to
                            # resume distributed training on a new mesh
 )

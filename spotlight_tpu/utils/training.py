@@ -144,6 +144,43 @@ def epoch_scan(params, opt_state, key, data, n_valid, num_batches,
     return params, opt_state, jnp.mean(losses)
 
 
+def placed_data_cached(owner, arrays, mesh, build=None):
+    """Device placement of a fit's epoch data, cached across ``fit()``
+    calls on the same bytes.
+
+    The per-fit host-to-device copy is a real cost through slow links
+    (the dev tunnel moves H2D at ~30 MB/s: ~120 ms for a 4 MB sequence
+    matrix, ~12 ms/epoch of a 10-epoch fit), and the documented
+    resume-training workflow (`fit()` called repeatedly) re-uploads
+    identical data every call.  The cache key is a **content hash** of
+    the host arrays (blake2b over the raw bytes, ~5 ms for 8 MB — an
+    identity-based key would silently train on stale data if the caller
+    mutated an array in place), so a hit is always byte-safe.
+
+    ``build(placed)`` optionally derives extra device columns (e.g. the
+    in-batch negative-weight gather); its output is what gets cached.
+    """
+    import hashlib
+
+    digest = hashlib.blake2b(digest_size=16)
+    for name in sorted(arrays):
+        array = np.ascontiguousarray(arrays[name])
+        digest.update(name.encode())
+        digest.update(str(array.dtype).encode())
+        digest.update(str(array.shape).encode())
+        digest.update(array.tobytes())
+    key = (digest.digest(), None if mesh is None else id(mesh))
+
+    cache = getattr(owner, '_placed_data_cache', None)
+    if cache is not None and cache[0] == key:
+        return cache[1]
+    data = place_data(arrays, mesh)
+    if build is not None:
+        data = build(data)
+    owner._placed_data_cache = (key, data)
+    return data
+
+
 def place_data(data, mesh):
     """Place epoch data arrays for the mesh (or default device).
 
