@@ -247,6 +247,42 @@ def bench_rank_kernel():
     emit('streaming_rank_kernel', per_call * 1e3, 'ms/call',
          config='256 users x 100K items x 16 targets')
 
+    # Production lean rank kernel (rank_weights, round 4) at the same
+    # continuity shape and at the wide-batch production shape.
+    from spotlight_tpu.ops.kernels.ranking import (matched_target_scores,
+                                                   rank_weights)
+
+    @jax.jit
+    def weights_path(users, items, bias, tids):
+        ts = matched_target_scores(users, items, bias, tids)
+        return rank_weights(users, items, bias, ts)
+
+    _readback(weights_path(users, items, bias, tids))
+    start = time.perf_counter()
+    for _ in range(reps):
+        out = weights_path(users, items, bias, tids)
+    _readback(out)
+    per_call = (time.perf_counter() - start) / reps
+    emit('streaming_rank_weights', per_call * 1e3, 'ms/call',
+         config='256 users x 100K items x 16 targets (lean kernel)')
+
+    B_wide, N_wide, T_wide = 1024, 200_000, 4
+    users_w = jnp.asarray(rs.randn(B_wide, D), dtype=jnp.float32)
+    items_w = jnp.asarray(rs.randn(N_wide, D), dtype=jnp.float32)
+    bias_w = jnp.asarray(rs.randn(N_wide), dtype=jnp.float32)
+    tids_w = jnp.asarray(rs.randint(0, N_wide, (B_wide, T_wide)),
+                         dtype=jnp.int32)
+    _readback(weights_path(users_w, items_w, bias_w, tids_w))
+    start = time.perf_counter()
+    for _ in range(reps):
+        out = weights_path(users_w, items_w, bias_w, tids_w)
+    _readback(out)
+    per_call = (time.perf_counter() - start) / reps
+    emit('streaming_rank_weights_wide', per_call * 1e3, 'ms/call',
+         gscores_per_s=round(B_wide * N_wide / per_call / 1e9, 2),
+         config='1024 users x 200K items x 4 targets (eval default '
+                'batch)')
+
     # Per-shard blocks (the mesh eval path feeds (N/S, D) slices with
     # shifted target ids to the same kernel): 4 sequential quarter-blocks
     # must not regress vs one full pass (round-3 VERDICT item 1's

@@ -96,41 +96,52 @@ def fused_row_update(ids, param, mu, nu, grads, t=5, interpret=False):
     ids : (n,) int32, unique, in-bounds (pad with a scratch row id)
     param/mu/nu : (R, W) float32, W % 128 == 0 (HBM row-DMA alignment)
     grads : (n, W) float32 pre-summed row gradients
+
+    Tables are viewed as (R, 1, W) so the per-row block is (1, 1, W):
+    Mosaic requires the last two block dims to be (8k, 128k) or equal to
+    the full array dims, and a row of a 2-D table fails that on real
+    hardware (a (1, W) block).
     """
     n = ids.shape[0]
     num_rows, width = param.shape
+    param3 = param.reshape(num_rows, 1, width)
+    mu3 = mu.reshape(num_rows, 1, width)
+    nu3 = nu.reshape(num_rows, 1, width)
+    grads3 = grads.reshape(n, 1, width)
 
     def row_at_id(i, ids_ref):
-        return (ids_ref[i], 0)
+        return (ids_ref[i], 0, 0)
 
     def row_at_i(i, ids_ref):
         del ids_ref
-        return (i, 0)
+        return (i, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec((1, width), row_at_id),   # param row
-            pl.BlockSpec((1, width), row_at_id),   # mu row
-            pl.BlockSpec((1, width), row_at_id),   # nu row
-            pl.BlockSpec((1, width), row_at_i),    # grad row
+            pl.BlockSpec((1, 1, width), row_at_id),   # param row
+            pl.BlockSpec((1, 1, width), row_at_id),   # mu row
+            pl.BlockSpec((1, 1, width), row_at_id),   # nu row
+            pl.BlockSpec((1, 1, width), row_at_i),    # grad row
         ],
         out_specs=[
-            pl.BlockSpec((1, width), row_at_id),
-            pl.BlockSpec((1, width), row_at_id),
-            pl.BlockSpec((1, width), row_at_id),
+            pl.BlockSpec((1, 1, width), row_at_id),
+            pl.BlockSpec((1, 1, width), row_at_id),
+            pl.BlockSpec((1, 1, width), row_at_id),
         ],
     )
     kernel = functools.partial(_row_update_kernel, t=t)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((num_rows, width), jnp.float32)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((num_rows, 1, width),
+                                        jnp.float32)] * 3,
         # Args are (ids, param, mu, nu, grads): tables alias outputs 0-2.
         input_output_aliases={1: 0, 2: 1, 3: 2},
         interpret=interpret,
-    )(ids, param, mu, nu, grads)
+    )(ids, param3, mu3, nu3, grads3)
+    return tuple(o.reshape(num_rows, width) for o in out)
 
 
 # --- Baselines ---------------------------------------------------------------
