@@ -762,13 +762,16 @@ def _precision_recall_from_topk(top_ids, targets, target_mask, k_values):
     return precision, recall
 
 
-def precision_recall_score(model, test, train=None, k=10, batch_size=256,
+def precision_recall_score(model, test, train=None, k=10, batch_size=None,
                            streaming=None):
     """Precision@k and recall@k for every user with test interactions.
 
     Parameters
     ----------
     k : int or array of int
+    batch_size : int, optional
+        Users scored per device step (default: 1024 on the streaming
+        top-k kernel path, 256 on the materialize path).
     streaming : bool, optional
         Use the fused streaming top-k kernel (default: on TPU backends when
         no train mask is needed and the model exposes dot-product factors).
@@ -792,6 +795,8 @@ def precision_recall_score(model, test, train=None, k=10, batch_size=256,
     use_streaming = (_streaming_default() if streaming is None
                      else streaming)
     interpret = bool(use_streaming) and jax.default_backend() == 'cpu'
+    batch_size = _resolve_batch_size(batch_size, use_streaming, model,
+                                     'users')
 
     precisions, recalls = [], []
     for start in range(0, len(users), batch_size):
@@ -830,19 +835,25 @@ def precision_recall_score(model, test, train=None, k=10, batch_size=256,
         if streaming is False or not _is_runtime_error(error):
             raise
         _note_fallback('precision_recall_score readback', error)
+        # batch_size=None re-resolves to the materialize default (256).
         return precision_recall_score(model, test, train=train, k=k,
-                                      batch_size=batch_size,
-                                      streaming=False)
+                                      batch_size=None, streaming=False)
     if scalar_k:
         return precision[:, 0], recall[:, 0]
     return precision, recall
 
 
 def sequence_precision_recall_score(model, test, k=10,
-                                    exclude_preceding=False, batch_size=256,
-                                    streaming=None):
+                                    exclude_preceding=False,
+                                    batch_size=None, streaming=None):
     """Precision@k = recall@k of each sequence's last ``k`` elements given
     all preceding elements.
+
+    Parameters
+    ----------
+    batch_size : int, optional
+        Sequences scored per device step (default: 1024 on the streaming
+        top-k kernel path, 256 on the materialize path).
 
     Returns
     -------
@@ -854,6 +865,8 @@ def sequence_precision_recall_score(model, test, k=10,
     use_streaming = (_streaming_default() if streaming is None
                      else streaming)
     interpret = bool(use_streaming) and jax.default_backend() == 'cpu'
+    batch_size = _resolve_batch_size(batch_size, use_streaming, model,
+                                     'sequences')
 
     precisions, recalls = [], []
     for start in range(0, len(sequences), batch_size):
@@ -890,9 +903,10 @@ def sequence_precision_recall_score(model, test, k=10,
         if streaming is False or not _is_runtime_error(error):
             raise
         _note_fallback('sequence_precision_recall_score readback', error)
+        # batch_size=None re-resolves to the materialize default (256).
         return sequence_precision_recall_score(
             model, test, k=k, exclude_preceding=exclude_preceding,
-            batch_size=batch_size, streaming=False)
+            batch_size=None, streaming=False)
 
 
 def rmse_score(model, test):
