@@ -79,10 +79,17 @@ def _streaming_default():
     return jax.default_backend() not in ('cpu',)
 
 
-def _auto_tile(batch):
+def _auto_tile(batch, mixture=None):
     """Item-tile rows for the streaming kernels, sized so the per-tile
-    (TILE, B) score block stays ~4 MB of VMEM at any user-batch width."""
-    return max(256, min(4096, (1 << 20) // max(batch, 1)))
+    (TILE, B) score block stays ~4 MB of VMEM at any user-batch width.
+
+    Mixture scoring holds ~2M live (TILE, B) component temporaries per
+    tile (M tastes + M attentions plus the softmax combine), so its tile
+    shrinks by 2M — without this, M=4 at the 1024-user default batch
+    exceeds the 16 MB scoped-vmem limit and the whole evaluation falls
+    back to the materialize path (measured 60x slower end-to-end)."""
+    budget = (1 << 20) // max(1, 2 * mixture) if mixture else (1 << 20)
+    return max(128 if mixture else 256, min(4096, budget // max(batch, 1)))
 
 
 def _ranks_with_train_correction(weights, num_items, safe_targets,
@@ -168,6 +175,7 @@ def _streaming_ranks_device(reprs, item_matrix, item_bias, targets,
         score_fn = make_mixture_score_fn(mixture, dim)
         target_scores = matched_candidate_scores(
             reprs, item_matrix, item_bias, safe_targets, score_fn,
+            tile_rows=_auto_tile(reprs.shape[0], mixture),
             interpret=interpret)
     else:
         score_fn = None
@@ -175,7 +183,7 @@ def _streaming_ranks_device(reprs, item_matrix, item_bias, targets,
                                               safe_targets)
 
     weights = rank_weights(reprs, item_matrix, item_bias, target_scores,
-                           tile_items=_auto_tile(reprs.shape[0]),
+                           tile_items=_auto_tile(reprs.shape[0], mixture),
                            interpret=interpret, score_fn=score_fn)
 
     if train_rows is not None:
@@ -185,6 +193,7 @@ def _streaming_ranks_device(reprs, item_matrix, item_bias, targets,
         if mixture:
             train_scores = matched_candidate_scores(
                 reprs, item_matrix, item_bias, safe_train, score_fn,
+                tile_rows=_auto_tile(reprs.shape[0], mixture),
                 interpret=interpret)                            # (B, Tr)
         else:
             train_scores = matched_target_scores(
@@ -655,8 +664,15 @@ def _streaming_topk_device(reprs, item_matrix, item_bias, train_rows,
 
     score_fn = (make_mixture_score_fn(mixture, item_matrix.shape[1])
                 if mixture else None)
+    # Mixture tiles shrink by 2M (M taste + M attention (TILE, B)
+    # temporaries live per tile; see _auto_tile).
+    tile = None
+    if mixture:
+        tile = max(256, ((1 << 19) // (2 * mixture)
+                         // reprs.shape[0]) // 256 * 256)
     _, top_ids = streaming_topk(reprs, item_matrix, item_bias, fetch,
-                                interpret=interpret, score_fn=score_fn)
+                                tile_items=tile, interpret=interpret,
+                                score_fn=score_fn)
     if train_rows is None:
         return top_ids
 

@@ -529,11 +529,13 @@ def _tile_scores_kernel(users_t_ref, rows_ref, bias_ref, out_ref, *,
 
 @functools.partial(jax.jit,
                    static_argnames=('score_fn', 'tile_rows', 'interpret'))
-def _candidate_scores_call(user_reprs, rows, bias, score_fn, tile_rows=1024,
+def _candidate_scores_call(user_reprs, rows, bias, score_fn, tile_rows=None,
                            interpret=False):
     """Score gathered candidate rows against every user: (R, D) -> (R, B),
     through the same per-tile ``score_fn`` the streaming kernels use."""
     batch, user_rows = user_reprs.shape
+    if tile_rows is None:
+        tile_rows = _auto_tile_items(batch, budget=1 << 18)
     num_rows, dim = rows.shape
     padded = pl.cdiv(num_rows, tile_rows) * tile_rows
     pad = padded - num_rows
@@ -561,7 +563,7 @@ def _candidate_scores_call(user_reprs, rows, bias, score_fn, tile_rows=1024,
 
 def matched_candidate_scores(user_reprs, item_matrix, item_bias,
                              candidates, score_fn, chunk=64,
-                             interpret=False):
+                             tile_rows=None, interpret=False):
     """Per-user scores of candidate item ids for arbitrary scoring.
 
     Generalizes :func:`matched_target_scores` beyond dot products: the
@@ -591,6 +593,7 @@ def matched_candidate_scores(user_reprs, item_matrix, item_bias,
         rows = item_matrix[flat]
         brows = item_bias[flat][:, None]
         scores = _candidate_scores_call(user_reprs, rows, brows, score_fn,
+                                        tile_rows=tile_rows,
                                         interpret=interpret)
         scores = scores.reshape(batch, stop - start, batch)
         diag = jnp.take_along_axis(

@@ -133,9 +133,14 @@ def sharded_topk(mesh, user_reprs, item_matrix, item_bias, k,
         if streaming:
             from spotlight_tpu.ops.kernels.topk import streaming_topk
 
+            # Mixture tiles shrink by 2M (see evaluation._auto_tile).
+            tile = None
+            if mixture:
+                tile = max(256, ((1 << 19) // (2 * mixture)
+                                 // users.shape[0]) // 256 * 256)
             local_scores, local_idx = streaming_topk(
                 users, items_local, bias_local, local_k,
-                interpret=interpret,
+                tile_items=tile, interpret=interpret,
                 score_fn=_score_fn_for(mixture, items_local.shape[1]))
         else:
             scores = batch_scores(users, items_local, bias_local, mixture)
@@ -244,7 +249,7 @@ def sharded_rank_counts(mesh, user_reprs, item_matrix, item_bias,
 
 def sharded_rank_weights(mesh, user_reprs, item_matrix, item_bias,
                          target_scores, axis='model', data_axis='data',
-                         mixture=None, tile_items=2048, interpret=False):
+                         mixture=None, tile_items=None, interpret=False):
     """Combined self-inclusive rank weights over a row-sharded catalog.
 
     The mesh form of `ops.kernels.ranking.rank_weights` — the production
@@ -275,11 +280,15 @@ def sharded_rank_weights(mesh, user_reprs, item_matrix, item_bias,
         out_specs=users_spec,
         check_vma=False)
     def weights_fn(users, items_local, bias_local, tscores):
+        from spotlight_tpu.evaluation import _auto_tile
         from spotlight_tpu.ops.kernels.ranking import rank_weights
 
+        # Mixture-aware tile (the kernel holds ~2M live (TILE, B)
+        # component temporaries per tile; see evaluation._auto_tile).
+        tile = tile_items or _auto_tile(users.shape[0], mixture)
         local = rank_weights(
             users, items_local, bias_local, tscores,
-            tile_items=tile_items, interpret=interpret,
+            tile_items=tile, interpret=interpret,
             score_fn=None if not mixture else _score_fn_for(
                 mixture, items_local.shape[1]))
         return jax.lax.psum(local, axis)
@@ -332,8 +341,12 @@ def sharded_candidate_scores(mesh, user_reprs, item_matrix, item_bias,
         local = cands - shard * local_rows
         owned = (local >= 0) & (local < local_rows)
         safe = jnp.where(owned, local, 0)
+        from spotlight_tpu.evaluation import _auto_tile
+
         scores = matched_candidate_scores(users, items_local, bias_local,
                                           safe, score_fn,
+                                          tile_rows=_auto_tile(
+                                              users.shape[0], mixture),
                                           interpret=interpret)
         return jax.lax.psum(jnp.where(owned, scores, 0.0), axis)
 
