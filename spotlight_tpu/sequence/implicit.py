@@ -174,10 +174,12 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
         if self._optimizer_func is not None:
             return ('a custom optimizer_func is set (row-sparse lazy Adam '
                     'IS the item-table optimizer)')
-        if self._mesh is not None and self._exchange != 'psum':
-            return ("mesh training uses exchange='{}' (only the default "
-                    "'psum' exchange composes with the lazy engine)"
-                    .format(self._exchange))
+        if self._mesh is not None and self._exchange == 'alltoall_cf':
+            return ("mesh training uses exchange='alltoall_cf', which "
+                    'shards the batch over the model axis — the sequence '
+                    "tower would need model-axis replication (the 'psum' "
+                    "and 'alltoall' exchanges compose with the lazy "
+                    'engine)')
         return None
 
     def _use_lazy_engine(self):
@@ -284,7 +286,8 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
                 self._batch_size, self._learning_rate, self._l2,
                 self._num_negative_samples, self._optimizer,
                 negative_sampling=self._negative_sampling,
-                mesh=self._mesh, param_specs=self._param_specs)
+                mesh=self._mesh, param_specs=self._param_specs,
+                exchange=self._exchange)
             self._epoch_fn_cache[num_batches] = epoch_fn
             return epoch_fn
 

@@ -113,8 +113,13 @@ def _drop_pad(ids, num_rows):
 def build_lazy_epoch_fn(net, loss, num_items, num_batches, batch_size,
                         learning_rate, l2, num_negatives, tower_optimizer,
                         negative_sampling='uniform', mesh=None,
-                        param_specs=None):
-    """Compile the row-sparse epoch for a fused-layout sequence net."""
+                        param_specs=None, exchange='psum'):
+    """Compile the row-sparse epoch for a fused-layout sequence net.
+
+    ``exchange`` ('psum' default, or 'alltoall') selects the mesh item-row
+    lookup collective; 'alltoall_cf' is excluded for sequence models (the
+    dense tower would additionally need model-axis batch replication) and
+    falls back at the estimator level."""
     dim = net.embedding_dim
     loss_func = _LOSSES[loss]
     adaptive = loss == 'adaptive_hinge'
@@ -159,7 +164,7 @@ def build_lazy_epoch_fn(net, loss, num_items, num_batches, batch_size,
     return _build_distributed(loss, num_items, num_batches, batch_size,
                               learning_rate, l2, n_neg, in_batch,
                               step_elems, dim, tower_optimizer, mesh,
-                              param_specs)
+                              param_specs, exchange=exchange)
 
 
 def _build_single_device(loss, num_items, num_batches, batch_size,
@@ -233,7 +238,8 @@ def _build_single_device(loss, num_items, num_batches, batch_size,
 
 def _build_distributed(loss, num_items, num_batches, batch_size,
                        learning_rate, l2, n_neg, in_batch, step_elems,
-                       dim, tower_optimizer, mesh, param_specs):
+                       dim, tower_optimizer, mesh, param_specs,
+                       exchange='psum'):
     """Mesh engine: row-sharded item table/moments, replicated tower.
 
     Same structure as the factorization mesh engine
@@ -274,7 +280,15 @@ def _build_distributed(loss, num_items, num_batches, batch_size,
             table, tower = _split_params(params)
 
             def gather(ids):
-                rows = _sharded_gather(table, ids)
+                if exchange == 'alltoall':
+                    # Numerically equivalent to the psum exchange, ~1
+                    # ulp/step off bit-parity (see
+                    # factorization/lazy.gather_rows).
+                    from spotlight_tpu.parallel.sharding import \
+                        alltoall_lookup
+                    rows = alltoall_lookup(table, ids)
+                else:
+                    rows = _sharded_gather(table, ids)
                 rows = jnp.where((ids == PADDING_IDX)[..., None],
                                  jnp.zeros((), rows.dtype), rows)
                 return rows.astype(jnp.float32)

@@ -673,3 +673,67 @@ def test_lazy_cf_with_inbatch_falls_back_loudly():
     assert not model._lazy
     assert any('alltoall_cf' in str(w.message) for w in caught
                if issubclass(w.category, RuntimeWarning))
+
+
+@pytest.mark.skipif(len(__import__('jax').devices()) < 8,
+                    reason='needs 8 (virtual) devices')
+def test_lazy_sequence_alltoall_matches_single_device():
+    """Sequence sparse=True composes with exchange='alltoall' (round 4):
+    the three-phase id exchange replaces the vocab-parallel psum for the
+    item-table rows; results match the single-device lazy engine to the
+    same tolerance as the psum mesh test (tower psum association plus the
+    exchange's ~1 ulp/step codegen shift)."""
+    from spotlight_tpu.data.interactions import SequenceInteractions
+    from spotlight_tpu.parallel import make_mesh
+    from spotlight_tpu.sequence import ImplicitSequenceModel
+
+    rs = np.random.RandomState(3)
+    seqs = rs.randint(1, 60, size=(256, 8)).astype(np.int32)
+    data = SequenceInteractions(seqs, num_items=60)
+
+    def fit(mesh, exch):
+        model = ImplicitSequenceModel(
+            loss='bpr', representation='lstm', embedding_dim=16, n_iter=2,
+            batch_size=64, sparse=True, mesh=mesh, exchange=exch,
+            random_state=np.random.RandomState(0))
+        model.fit(data)
+        assert model._lazy
+        return model
+
+    single = fit(None, 'psum')
+    dist = fit(make_mesh(data=2, model=4), 'alltoall')
+    np.testing.assert_allclose(
+        np.asarray(single._params['item_embeddings']['weight']),
+        np.asarray(dist._params['item_embeddings']['weight'])[:60],
+        rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(dist._params['item_embeddings']['weight'])[0], 0.0)
+
+
+def test_lazy_sequence_cf_falls_back_loudly():
+    """Sequence sparse=True + exchange='alltoall_cf' cannot compose (the
+    dense tower would need model-axis batch replication): falls back to
+    the dense engine with a RuntimeWarning."""
+    import warnings
+
+    import jax
+
+    from spotlight_tpu.data.interactions import SequenceInteractions
+    from spotlight_tpu.parallel import make_mesh
+    from spotlight_tpu.sequence import ImplicitSequenceModel
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 (virtual) devices')
+    rs = np.random.RandomState(3)
+    seqs = rs.randint(1, 60, size=(256, 8)).astype(np.int32)
+    data = SequenceInteractions(seqs, num_items=60)
+    model = ImplicitSequenceModel(
+        loss='bpr', representation='lstm', embedding_dim=16, n_iter=1,
+        batch_size=64, sparse=True, mesh=make_mesh(data=2, model=4),
+        exchange='alltoall_cf', random_state=np.random.RandomState(0))
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter('always')
+        model.fit(data)
+    assert not model._lazy
+    assert any('alltoall_cf' in str(w.message) for w in caught
+               if issubclass(w.category, RuntimeWarning))
