@@ -159,8 +159,18 @@ def placed_data_cached(owner, arrays, mesh, build=None):
 
     ``build(placed)`` optionally derives extra device columns (e.g. the
     in-batch negative-weight gather); its output is what gets cached.
+
+    Above 64 MB of host arrays the cache is bypassed (plain placement):
+    hashing scales with the data while the copy it saves is one-time, so
+    at 10M-interaction scale the per-fit hash would cost more than a
+    real-hardware H2D copy.
     """
     import hashlib
+
+    total_bytes = sum(np.asarray(a).nbytes for a in arrays.values())
+    if total_bytes > (64 << 20):
+        data = place_data(arrays, mesh)
+        return build(data) if build is not None else data
 
     digest = hashlib.blake2b(digest_size=16)
     for name in sorted(arrays):
