@@ -41,6 +41,12 @@ class _FactorizationBase(SerializableEstimatorMixin):
         self._sparse = sparse
         self._random_state = random_state or np.random.RandomState()
         self._mesh = mesh
+        if exchange not in ('psum', 'alltoall', 'alltoall_cf'):
+            # A typo here would otherwise silently run the default psum
+            # gather (advisor round-4 finding).
+            raise ValueError(
+                "exchange must be one of 'psum', 'alltoall', 'alltoall_cf'"
+                ' (got {!r})'.format(exchange))
         self._exchange = exchange
 
         self._num_users = None

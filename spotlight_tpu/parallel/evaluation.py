@@ -131,13 +131,13 @@ def sharded_topk(mesh, user_reprs, item_matrix, item_bias, k,
         local_k = min(k, local_rows)
         shard = jax.lax.axis_index(axis)
         if streaming:
+            from spotlight_tpu.evaluation import _mixture_topk_tile
             from spotlight_tpu.ops.kernels.topk import streaming_topk
 
-            # Mixture tiles shrink by 2M (see evaluation._auto_tile).
-            tile = None
-            if mixture:
-                tile = max(256, ((1 << 19) // (2 * mixture)
-                                 // users.shape[0]) // 256 * 256)
+            # Mixture tiles shrink by 2M (shared VMEM model — see
+            # evaluation._mixture_topk_tile).
+            tile = (_mixture_topk_tile(users.shape[0], mixture)
+                    if mixture else None)
             local_scores, local_idx = streaming_topk(
                 users, items_local, bias_local, local_k,
                 tile_items=tile, interpret=interpret,

@@ -113,6 +113,12 @@ class ImplicitSequenceModel(SerializableEstimatorMixin):
         assert negative_sampling in ('uniform', 'in_batch')
         if isinstance(representation, str):
             assert representation in ('pooling', 'cnn', 'lstm', 'mixture')
+        if exchange not in ('psum', 'alltoall', 'alltoall_cf'):
+            # A typo here would otherwise silently run the default psum
+            # gather (advisor round-4 finding).
+            raise ValueError(
+                "exchange must be one of 'psum', 'alltoall', 'alltoall_cf'"
+                ' (got {!r})'.format(exchange))
         del use_cuda  # API parity; devices come from jax
 
         if mesh is not None:

@@ -179,15 +179,19 @@ def placed_data_cached(owner, arrays, mesh, build=None):
         digest.update(str(array.dtype).encode())
         digest.update(str(array.shape).encode())
         digest.update(array.tobytes())
-    key = (digest.digest(), None if mesh is None else id(mesh))
+    key = digest.digest()
 
+    # The mesh participates in the key by *live identity* — the entry
+    # holds a reference to the mesh object itself, so a replaced (and
+    # garbage-collected) mesh can never produce a false hit through a
+    # recycled id().
     cache = getattr(owner, '_placed_data_cache', None)
-    if cache is not None and cache[0] == key:
-        return cache[1]
+    if cache is not None and cache[0] == key and cache[1] is mesh:
+        return cache[2]
     data = place_data(arrays, mesh)
     if build is not None:
         data = build(data)
-    owner._placed_data_cache = (key, data)
+    owner._placed_data_cache = (key, mesh, data)
     return data
 
 

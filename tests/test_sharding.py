@@ -327,3 +327,36 @@ def test_alltoall_exchange_implicit_learns():
         mesh=make_mesh(data=2, model=4), exchange='alltoall')
     model.fit(train)
     assert mrr_score(model, test, train=train).mean() > 0.03
+
+
+def test_exchange_string_validated():
+    """A typo'd exchange mode raises instead of silently running the
+    default psum gather (advisor round-4 finding)."""
+    from spotlight_tpu.sequence import ImplicitSequenceModel
+
+    with pytest.raises(ValueError, match='exchange must be one of'):
+        ImplicitFactorizationModel(exchange='alltoall-cf')
+    with pytest.raises(ValueError, match='exchange must be one of'):
+        ImplicitSequenceModel(exchange='all_to_all')
+
+
+def test_placed_data_cache_keys_on_live_mesh_identity():
+    """Replacing a model's mesh invalidates the placed-data cache even
+    when the same arrays are passed (no id()-recycling false hits:
+    the entry holds the mesh object itself)."""
+    from spotlight_tpu.utils.training import placed_data_cached
+
+    class Owner:
+        pass
+
+    owner = Owner()
+    arrays = {'a': np.arange(8, dtype=np.int32)}
+    mesh_a = make_mesh(data=2, model=4)
+    placed_a = placed_data_cached(owner, arrays, mesh_a)
+    # Same mesh, same bytes: a hit.
+    assert placed_data_cached(owner, arrays, mesh_a) is placed_a
+    # A different (live) mesh object: a miss, repositioned data.
+    mesh_b = make_mesh(data=4, model=2)
+    placed_b = placed_data_cached(owner, arrays, mesh_b)
+    assert placed_b is not placed_a
+    assert placed_data_cached(owner, arrays, mesh_b) is placed_b

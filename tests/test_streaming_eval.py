@@ -631,3 +631,48 @@ def test_rank_kernels_loop_only_real_targets():
                     + 0.5 * (scores[:, None, :]
                              == ts_np[:, :, None]).sum(axis=2))
         np.testing.assert_array_equal(np.asarray(weights), expected)
+
+
+def test_resolve_batch_size_vmem_derived(fitted_factorization,
+                                         fitted_mixture):
+    """The auto streaming batch width comes from the scoped-VMEM model
+    (round-4 VERDICT item 4): 2048 for dot-product representations, 1024
+    for mixture-of-tastes (whose kernels hold 2M live component
+    temporaries), 256 on the materialize path."""
+    from spotlight_tpu.evaluation import _resolve_batch_size
+
+    _, _, model = fitted_factorization
+    _, mixture_model = fitted_mixture
+    assert _resolve_batch_size(None, True, model, 'users') == 2048
+    assert _resolve_batch_size(None, True, mixture_model,
+                               'sequences') == 1024
+    assert _resolve_batch_size(None, False, model, 'users') == 256
+    # An explicit caller batch size is always respected.
+    assert _resolve_batch_size(640, True, model, 'users') == 640
+
+
+def test_streaming_batch_caps_chunk_oversized_batches(
+        fitted_factorization, monkeypatch):
+    """A user batch beyond the VMEM cap runs in cap-sized chunks (not the
+    materialize fallback), with identical results."""
+    import warnings
+
+    import spotlight_tpu.evaluation as evaluation
+
+    train, test, model = fitted_factorization
+    standard = mrr_score(model, test, train=train, streaming=False)
+    from spotlight_tpu.evaluation import precision_recall_score
+    p_std, r_std = precision_recall_score(model, test, train=train,
+                                          streaming=False)
+
+    # Force tiny caps so the single eval batch exceeds them.
+    monkeypatch.setattr(evaluation, '_streaming_batch_cap',
+                        lambda mixture, kind: 16)
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')  # any fallback warning fails
+        streamed = mrr_score(model, test, train=train, streaming=True)
+        p_str, r_str = precision_recall_score(model, test, train=train,
+                                              streaming=True)
+    np.testing.assert_allclose(streamed, standard, rtol=1e-4, atol=1e-6)
+    np.testing.assert_array_equal(p_str, p_std)
+    np.testing.assert_array_equal(r_str, r_std)
