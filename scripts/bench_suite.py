@@ -77,6 +77,41 @@ def bench_implicit_mf():
     return model, interactions
 
 
+def bench_explicit_mf():
+    """Training + evaluation throughput for the third estimator family
+    (round-4 VERDICT item 7: the suite had no explicit-factorization
+    record).  Matches `/root/reference/spotlight/factorization/
+    explicit.py:173` (regression loss, Adam)."""
+    from spotlight_tpu.data import Interactions
+    from spotlight_tpu.evaluation import rmse_score
+    from spotlight_tpu.factorization import ExplicitFactorizationModel
+
+    rs = np.random.RandomState(42)
+    n = 200_000 if QUICK else 1_000_000
+    interactions = Interactions(
+        rs.randint(0, 100_000, n).astype(np.int64),
+        rs.randint(0, 20_000, n).astype(np.int64),
+        ratings=rs.uniform(1.0, 5.0, n).astype(np.float32),
+        num_users=100_000, num_items=20_000)
+
+    model = ExplicitFactorizationModel(
+        loss='regression', embedding_dim=64, n_iter=1, batch_size=8192,
+        random_state=np.random.RandomState(42))
+    model.fit(interactions)              # warm-up + compile
+    rate = _timed_fit_rate(model, interactions, n,
+                           epochs=1 if QUICK else 10)
+    emit('explicit_mf_train_regression', rate, 'examples/s/chip')
+
+    rmse_score(model, interactions)      # warm-up + compile
+    start = time.perf_counter()
+    value = rmse_score(model, interactions)
+    float(value)
+    elapsed = time.perf_counter() - start
+    emit('explicit_rmse_eval', n / elapsed / 1e6, 'M predictions/s',
+         rmse=round(float(value), 3))
+    del model
+
+
 def bench_lazy_knobs():
     """The composed perf knobs at a large-table config (the lazy engine's
     home regime): dense vs sparse=True vs each stacked knob.  Pinned by
@@ -183,6 +218,42 @@ def bench_sequence():
          config='2048 users x 20K items, M=4')
 
 
+def bench_sequence_large_catalog():
+    """Sequence eval at the 200K-item scale the factorization eval is
+    proven at (round-4 VERDICT item 3): LSTM and mixture prefix encoding
+    must pipeline with catalog streaming, not serialize against it."""
+    from spotlight_tpu.data.interactions import SequenceInteractions
+    from spotlight_tpu.evaluation import sequence_mrr_score
+    from spotlight_tpu.sequence import ImplicitSequenceModel
+
+    rs = np.random.RandomState(42)
+    num_items = 200_000
+    nseq = 1024 if QUICK else 4096
+    eval_rows = 512 if QUICK else 2048
+    sequences = rs.randint(1, num_items, (nseq, 50)).astype(np.int32)
+    data = SequenceInteractions(sequences, num_items=num_items)
+    test = SequenceInteractions(sequences[:eval_rows],
+                                num_items=num_items)
+
+    for rep in ('lstm', 'mixture'):
+        model = ImplicitSequenceModel(
+            loss='bpr', representation=rep, embedding_dim=64,
+            batch_size=256, n_iter=1,
+            random_state=np.random.RandomState(0))
+        model.fit(data)
+        sequence_mrr_score(model, test)  # warm-up + compile
+        start = time.perf_counter()
+        out = sequence_mrr_score(model, test)
+        _readback(out)
+        elapsed = time.perf_counter() - start
+        emit('{}_catalog_eval_200k'.format(rep),
+             eval_rows * num_items / elapsed / 1e9, 'G item-scores/s',
+             users_per_s=round(eval_rows / elapsed, 1),
+             config='{} seqs x 200K items, prefix len 49'.format(
+                 eval_rows))
+        del model
+
+
 def bench_large_catalog_eval():
     """End-to-end streaming MRR over a 200K-item catalog (the round-3
     VERDICT item-8 'memory cliff' check: the score matrix for 2048 users
@@ -217,6 +288,27 @@ def bench_large_catalog_eval():
     emit('large_catalog_eval', eval_users * num_items / elapsed / 1e9,
          'G item-scores/s', users_per_s=round(eval_users / elapsed, 1),
          config='{} users x 200K items, streaming MRR'.format(eval_users))
+
+    # Masked precision@10 end-to-end with a heavy-train-user batch: user
+    # 0 carries 120 extra train items, so every batch over-fetches
+    # 10 + ~124 candidates — the resume-round worst case the round-4
+    # VERDICT flagged (item 1); the dynamic-extraction top-k kernel's
+    # cost scales with actual top-k updates, not fetch width.
+    from spotlight_tpu.evaluation import precision_recall_score
+
+    heavy = Interactions(
+        np.concatenate([np.zeros(120, dtype=np.int64), train.user_ids]),
+        np.concatenate([rs.randint(0, num_items, 120).astype(np.int64),
+                        train.item_ids]),
+        num_users=num_users, num_items=num_items)
+    precision_recall_score(model, test, train=heavy, k=10)  # warm-up
+    start = time.perf_counter()
+    p, _ = precision_recall_score(model, test, train=heavy, k=10)
+    _readback(p)
+    elapsed = time.perf_counter() - start
+    emit('masked_precision_at_10', eval_users / elapsed, 'users/s',
+         config='{} users x 200K items, train mask incl. 120-item '
+                'heavy user'.format(eval_users))
 
 
 def bench_rank_kernel():
@@ -341,6 +433,25 @@ def bench_topk_kernel():
         emit('streaming_topk_kernel_k{}'.format(k), per_call * 1e3,
              'ms/call', config='256 users x 100K items')
 
+    # The rank-kernel-comparison shape (round-4 VERDICT item 1: top-k
+    # within ~1.5x of rank_weights at identical streaming work).
+    B_wide, N_wide = 1024, 200_000
+    users_w = jnp.asarray(rs.randn(B_wide, D), dtype=jnp.float32)
+    items_w = jnp.asarray(rs.randn(N_wide, D), dtype=jnp.float32)
+    bias_w = jnp.asarray(rs.randn(N_wide), dtype=jnp.float32)
+    for k in (10, 128):
+        fn = jax.jit(lambda u, i, b, k=k: streaming_topk(u, i, b, k))
+        _readback(fn(users_w, items_w, bias_w)[1])
+        reps = 5 if QUICK else 20
+        start = time.perf_counter()
+        for _ in range(reps):
+            out = fn(users_w, items_w, bias_w)
+        _readback(out[1])
+        per_call = (time.perf_counter() - start) / reps
+        emit('streaming_topk_kernel_wide_k{}'.format(k), per_call * 1e3,
+             'ms/call', config='1024 users x 200K items (rank_weights '
+                               'comparison shape)')
+
 
 def _output_path():
     """Validate ``--output FILE`` up front so a forgotten value fails
@@ -359,8 +470,10 @@ def main():
     output = _output_path()
 
     bench_implicit_mf()
+    bench_explicit_mf()
     bench_lazy_knobs()
     bench_sequence()
+    bench_sequence_large_catalog()
     bench_large_catalog_eval()
     bench_rank_kernel()
     bench_topk_kernel()
