@@ -47,13 +47,16 @@ from spotlight_tpu.ops.kernels.ranking import _dot_scores
 _NEG_INF = float('-inf')
 _ID_SENTINEL = 2 ** 30
 
-#: Widest selection handled by one kernel invocation: each top-k update
-#: pays an O(k * batch) sorted insertion and the expected update count
-#: grows ~k·ln(N/k), so selection cost grows ~quadratically in k — very
-#: wide fetches instead run in resume-key rounds (see
-#: :func:`streaming_topk`), each re-streaming the catalog once (linear in
-#: k with a per-round catalog-read term).
+#: Resume-round width for very wide fetches: each top-k update pays an
+#: O(k * batch) sorted insertion and the expected update count grows
+#: ~k·ln(N/k), so single-launch selection cost grows ~quadratically in k
+#: while rounds are linear with a per-round catalog-read term.  Measured
+#: crossover at B=1024/N=200K: single launch wins to ~k=230 (k=192:
+#: 9.35 ms vs 11.79 ms in 128-rounds; k=256: 12.60 vs 12.27) — so fetches
+#: up to SINGLE_LAUNCH_K run in one catalog pass and wider ones in
+#: ROUND_K-sized resume rounds.
 ROUND_K = 128
+SINGLE_LAUNCH_K = 192
 
 
 def _topk_kernel(users_t_ref, resume_score_ref, resume_id_ref, items_ref,
@@ -177,12 +180,13 @@ def streaming_topk(user_reprs, item_matrix, item_bias, k, tile_items=None,
     (scores, ids) : ((B, k), (B, k)) in descending score order, ties broken
         by ascending item id (lax.top_k parity).
 
-    Any ``k`` up to the catalog size is supported.  ``k`` beyond ``ROUND_K``
-    runs in rounds: each round streams the catalog once and selects the next
-    ``ROUND_K`` items *strictly after* the previous round's last selection in
-    the total order (score descending, id ascending), carried between rounds
-    as a per-user resume key.  A fetch of 512 therefore costs 4 catalog
-    passes — with the score matrix still never materialized.
+    Any ``k`` up to the catalog size is supported.  ``k`` beyond
+    ``SINGLE_LAUNCH_K`` runs in rounds: each round streams the catalog once
+    and selects the next ``ROUND_K`` items *strictly after* the previous
+    round's last selection in the total order (score descending, id
+    ascending), carried between rounds as a per-user resume key.  A fetch
+    of 512 therefore costs 4 catalog passes — with the score matrix still
+    never materialized.
     """
     num_items = item_matrix.shape[0]
     if k > num_items:
@@ -192,7 +196,7 @@ def streaming_topk(user_reprs, item_matrix, item_bias, k, tile_items=None,
     if tile_items is None:
         tile_items = _auto_tile_items(batch, min(k, ROUND_K))
     score_fn = score_fn or _dot_scores
-    if k <= ROUND_K:
+    if k <= SINGLE_LAUNCH_K:
         return _streaming_topk_call(user_reprs, item_matrix, item_bias, k,
                                     tile_items=tile_items,
                                     interpret=interpret, score_fn=score_fn)

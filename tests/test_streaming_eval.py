@@ -405,7 +405,9 @@ def test_streaming_topk_wide_fetch_exact():
     bias = jnp.asarray(rs.randn(N).astype(np.float32))
     full = jnp.asarray(np.asarray(users @ items.T + bias[None]))
 
-    for k in (300, N):
+    # 150 exercises the single-launch region beyond the 128 resume-round
+    # width (SINGLE_LAUNCH_K); 300 and N run in resume rounds.
+    for k in (150, 300, N):
         s, ids = streaming_topk(users, items, bias, k, tile_items=256,
                                 interpret=True)
         ref_s, ref_i = jax.lax.top_k(full, k)
