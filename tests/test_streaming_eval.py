@@ -678,3 +678,33 @@ def test_streaming_batch_caps_chunk_oversized_batches(
     np.testing.assert_allclose(streamed, standard, rtol=1e-4, atol=1e-6)
     np.testing.assert_array_equal(p_str, p_std)
     np.testing.assert_array_equal(r_str, r_std)
+
+
+def test_streaming_topk_tie_heavy_exact():
+    """Exact lax.top_k parity under heavy score ties: a small catalog of
+    duplicated rows (every score appears ~N/8 times) exercises the
+    extraction tie-break (min id among maxima) and the sorted-insertion
+    tie count ((score ==, id <) buffer entries) across tile boundaries
+    and resume rounds."""
+    import jax
+    import jax.numpy as jnp
+    from spotlight_tpu.ops.kernels.topk import streaming_topk
+
+    rs = np.random.RandomState(7)
+    B, D = 8, 16
+    base_rows = rs.randn(8, D).astype(np.float32)
+    items = jnp.asarray(np.tile(base_rows, (80, 1)))          # N=640
+    bias = jnp.asarray(np.zeros(640, np.float32))
+    users = jnp.asarray(rs.randn(B, D).astype(np.float32))
+    full = jnp.dot(users, items.T, preferred_element_type=jnp.float32)
+
+    for k in (5, 24, 150, 300):
+        s, ids = streaming_topk(users, items, bias, k, tile_items=256,
+                                interpret=True)
+        ref_s, ref_i = jax.lax.top_k(full, k)
+        # Ids must be exact (ties resolved identically: duplicated rows
+        # score bit-identically *within* each path).  Scores differ from
+        # the one-shot XLA matmul by ~1 ulp of accumulation order.
+        assert np.array_equal(np.asarray(ids), np.asarray(ref_i)), k
+        np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s),
+                                   atol=1e-5)
