@@ -260,29 +260,14 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
     mixture = factors[3] if len(factors) > 3 else None
 
     mesh = getattr(model, '_mesh', None)
-    if mesh is not None and mesh.shape.get('model', 1) > 1:
-        try:
-            return _streaming_ranks_sharded(
-                mesh, reprs, item_matrix, item_bias,
-                jnp.asarray(targets, dtype=jnp.int32),
-                jnp.asarray(target_mask), train_rows, mixture=mixture,
-                interpret=interpret)
-        except Exception as error:
-            # Same contract as the single-device branch below: a Mosaic
-            # trace/compile failure on the per-shard kernel falls back
-            # (loudly) to the materialize path instead of aborting
-            # evaluation; async execution failures surface at the
-            # metric's single readback wave, which recomputes on the
-            # materialize path.
-            if not _propagate_to_fallback(error):
-                raise
-            _note_fallback('_streaming_ranks_sharded', error)
-            return None
+    sharded = mesh is not None and mesh.shape.get('model', 1) > 1
+    site = '_streaming_ranks_sharded' if sharded else '_streaming_ranks'
 
     try:
-        # User batches beyond the VMEM cap run in cap-sized chunks
-        # instead of shrinking the kernel tile below its floor (which
-        # would trip the loud materialize fallback).
+        # User batches beyond the VMEM cap run in cap-sized chunks —
+        # on BOTH the single-device and mesh paths — instead of
+        # shrinking the kernel tile below its floor (which would trip
+        # the loud materialize fallback).
         cap = _streaming_batch_cap(mixture, 'rank')
         targets = jnp.asarray(targets, dtype=jnp.int32)
         target_mask = jnp.asarray(target_mask)
@@ -291,18 +276,26 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
         parts = []
         for lo in range(0, reprs.shape[0], cap):
             hi = lo + cap
-            parts.append(_streaming_ranks_device(
-                reprs[lo:hi], item_matrix, item_bias, targets[lo:hi],
-                target_mask[lo:hi],
-                train_rows[lo:hi] if train_rows is not None else None,
-                interpret=interpret, mixture=mixture))
+            tr = train_rows[lo:hi] if train_rows is not None else None
+            if sharded:
+                parts.append(_streaming_ranks_sharded(
+                    mesh, reprs[lo:hi], item_matrix, item_bias,
+                    targets[lo:hi], target_mask[lo:hi], tr,
+                    mixture=mixture, interpret=interpret))
+            else:
+                parts.append(_streaming_ranks_device(
+                    reprs[lo:hi], item_matrix, item_bias, targets[lo:hi],
+                    target_mask[lo:hi], tr,
+                    interpret=interpret, mixture=mixture))
         rr = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
     except Exception as error:
-        # Mosaic compile failures on unusual shapes fall back to the
-        # materialize-sort path rather than breaking evaluation.
+        # Mosaic trace/compile failures on unusual shapes fall back
+        # (loudly) to the materialize-sort path rather than breaking
+        # evaluation; async execution failures surface at the metric's
+        # single readback wave, which recomputes on the materialize path.
         if not _propagate_to_fallback(error):
             raise
-        _note_fallback('_streaming_ranks', error)
+        _note_fallback(site, error)
         return None
     # Returned on-device: callers collect per-batch results and read back
     # once at the end, so batch dispatches pipeline instead of paying a
@@ -487,13 +480,31 @@ def _resolve_batch_size(batch_size, use_streaming, model, kind):
     (B, N) score matrix scales with the batch)."""
     if batch_size is not None:
         return batch_size
-    if use_streaming and getattr(model, '_rank_factors_' + kind,
-                                 None) is not None:
+    # The wide default applies only when the model can ACTUALLY stream:
+    # `_rank_factors_jit` is None for custom representations, which
+    # would otherwise run the materialize path at the streaming width
+    # and build (2048, N) score matrices (the memory cliff the streaming
+    # path exists to avoid).
+    if (use_streaming
+            and getattr(model, '_rank_factors_' + kind, None) is not None
+            and getattr(model, '_rank_factors_jit', None) is not None):
         mixture = getattr(getattr(model, '_net', None), 'num_mixtures',
                           None)
         return min(2048, _streaming_batch_cap(mixture, 'rank'),
                    _streaming_batch_cap(mixture, 'topk'))
     return 256
+
+
+def _fallback_batch_size(user_batch_size):
+    """Batch size for the materialize retry after a streaming readback
+    failure: an explicit caller batch is kept when it is
+    materialize-safe (<= the 256 default); larger values were sized for
+    the streaming kernels, whose VMEM model says nothing about the
+    (B, N) score matrix the retry must build — those re-resolve to the
+    materialize default (the fallback already warned loudly)."""
+    if user_batch_size is not None and user_batch_size <= 256:
+        return user_batch_size
+    return None
 
 
 def mrr_score(model, test, train=None, batch_size=None, streaming=None):
@@ -508,8 +519,9 @@ def mrr_score(model, test, train=None, batch_size=None, streaming=None):
         If supplied, scores of train interactions are pushed below every
         other item and so do not affect the MRR.
     batch_size : int, optional
-        Number of users scored per device step (default: 1024 on the
-        streaming kernel path, 256 on the materialize path).
+        Number of users scored per device step (default: derived from
+        the scoped-VMEM model — 2048 for dot-product representations,
+        1024 for mixture-of-tastes; 256 on the materialize path).
     streaming : bool, optional
         Use the fused Pallas catalog-streaming kernel (default: on TPU
         backends, when the model exposes dot-product rank factors).
@@ -565,10 +577,11 @@ def mrr_score(model, test, train=None, batch_size=None, streaming=None):
         if streaming is False or not _is_runtime_error(error):
             raise
         _note_fallback('mrr_score readback', error)
-        # An explicit caller batch_size is kept; None re-resolves to the
-        # materialize default.
+        # A materialize-safe explicit batch is kept; larger/unset
+        # re-resolve to the materialize default (_fallback_batch_size).
         return mrr_score(model, test, train=train,
-                         batch_size=user_batch_size, streaming=False)
+                         batch_size=_fallback_batch_size(user_batch_size),
+                         streaming=False)
 
 
 def _sequence_final_scores(model, prefixes, exclude_preceding):
@@ -622,8 +635,9 @@ def sequence_mrr_score(model, test, exclude_preceding=False, batch_size=None,
         like the reference, `evaluation.py:95-96`, this also excludes the
         padding id 0.)
     batch_size : int, optional
-        Sequences scored per device step (default: 1024 on the streaming
-        kernel path, 256 on the materialize path).
+        Sequences scored per device step (default: derived from the
+        scoped-VMEM model — 2048 for dot-product representations, 1024
+        for mixture-of-tastes; 256 on the materialize path).
     streaming : bool, optional
         Use the fused Pallas catalog-streaming kernel (default: on TPU
         backends, for dot-product representations).
@@ -673,12 +687,12 @@ def sequence_mrr_score(model, test, exclude_preceding=False, batch_size=None,
         if streaming is False or not _is_runtime_error(error):
             raise
         _note_fallback('sequence_mrr_score readback', error)
-        # An explicit caller batch_size is kept; None re-resolves to the
-        # materialize default.
-        return sequence_mrr_score(model, test,
-                                  exclude_preceding=exclude_preceding,
-                                  batch_size=user_batch_size,
-                                  streaming=False)
+        # A materialize-safe explicit batch is kept; larger/unset
+        # re-resolve to the materialize default (_fallback_batch_size).
+        return sequence_mrr_score(
+            model, test, exclude_preceding=exclude_preceding,
+            batch_size=_fallback_batch_size(user_batch_size),
+            streaming=False)
 
 
 def _precision_recall_from_scores(scores, targets, target_mask, k_values):
@@ -769,12 +783,21 @@ def _streaming_topk_hits(model, kind, inputs, k_max, train_rows=None,
     fetch = min(fetch, num_items)
 
     mesh = getattr(model, '_mesh', None)
-    if mesh is not None and mesh.shape.get('model', 1) > 1:
-        # Mesh-sharded tables: per-shard top-k + tournament merge instead
-        # of a single-device kernel over a sharded array.
-        from spotlight_tpu.parallel.evaluation import sharded_topk
+    sharded = mesh is not None and mesh.shape.get('model', 1) > 1
+    site = ('_streaming_topk_hits_sharded' if sharded
+            else '_streaming_topk_hits')
 
-        try:
+    try:
+        # User batches beyond the VMEM cap run in cap-sized chunks — on
+        # BOTH the single-device and mesh paths (the top-k + train-mask
+        # compaction is per-user, so chunking is transparent); see
+        # _streaming_batch_cap.
+        cap = _streaming_batch_cap(mixture, 'topk')
+        train = (jnp.asarray(train_rows, dtype=jnp.int32)
+                 if train_rows is not None else None)
+        if sharded:
+            # Mesh-sharded tables: per-shard top-k + tournament merge
+            # instead of a single-device kernel over a sharded array.
             shards = mesh.shape['model']
             pad = -item_matrix.shape[0] % shards
             if pad:
@@ -785,44 +808,41 @@ def _streaming_topk_hits(model, kind, inputs, k_max, train_rows=None,
                 item_bias = jnp.concatenate(
                     [item_bias, jnp.full((pad,), -FLOAT_MAX,
                                          item_bias.dtype)])
-            _, top_ids = sharded_topk(mesh, reprs, item_matrix, item_bias,
-                                      fetch, mixture=mixture,
-                                      interpret=interpret)
-            if train_rows is None:
-                return top_ids
-            train = jnp.asarray(train_rows, dtype=jnp.int32)
-            masked = jnp.any(top_ids[:, :, None] == train[:, None, :],
-                             axis=2)
-            order = jnp.argsort(masked.astype(jnp.int32), axis=1,
-                                stable=True)
-            return jnp.take_along_axis(top_ids, order, axis=1)[:, :k_max]
-        except Exception as error:
-            # Same loud-fallback contract as the single-device branch.
-            if not _propagate_to_fallback(error):
-                raise
-            _note_fallback('_streaming_topk_hits_sharded', error)
-            return None
-
-    try:
-        # User batches beyond the VMEM cap run in cap-sized chunks (the
-        # top-k + train-mask compaction is per-user, so chunking is
-        # transparent); see _streaming_batch_cap.
-        cap = _streaming_batch_cap(mixture, 'topk')
-        train = (jnp.asarray(train_rows, dtype=jnp.int32)
-                 if train_rows is not None else None)
         parts = []
         for lo in range(0, reprs.shape[0], cap):
             hi = lo + cap
-            parts.append(_streaming_topk_device(
-                reprs[lo:hi], item_matrix, item_bias,
-                train[lo:hi] if train is not None else None,
-                k_max, fetch, interpret=interpret, mixture=mixture))
+            tr = train[lo:hi] if train is not None else None
+            if sharded:
+                parts.append(_sharded_topk_hits(
+                    mesh, reprs[lo:hi], item_matrix, item_bias, tr,
+                    k_max, fetch, mixture=mixture, interpret=interpret))
+            else:
+                parts.append(_streaming_topk_device(
+                    reprs[lo:hi], item_matrix, item_bias, tr,
+                    k_max, fetch, interpret=interpret, mixture=mixture))
         return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
     except Exception as error:
+        # Same loud-fallback contract on both branches.
         if not _propagate_to_fallback(error):
             raise
-        _note_fallback('_streaming_topk_hits', error)
+        _note_fallback(site, error)
         return None
+
+
+def _sharded_topk_hits(mesh, reprs, item_matrix, item_bias, train, k_max,
+                       fetch, mixture=None, interpret=False):
+    """One cap-sized chunk of the mesh top-k path: per-shard streaming
+    top-k + tournament merge, then train-mask compaction (the same
+    FLOAT_MAX-demotion semantics as `_streaming_topk_device`)."""
+    from spotlight_tpu.parallel.evaluation import sharded_topk
+
+    _, top_ids = sharded_topk(mesh, reprs, item_matrix, item_bias,
+                              fetch, mixture=mixture, interpret=interpret)
+    if train is None:
+        return top_ids
+    masked = jnp.any(top_ids[:, :, None] == train[:, None, :], axis=2)
+    order = jnp.argsort(masked.astype(jnp.int32), axis=1, stable=True)
+    return jnp.take_along_axis(top_ids, order, axis=1)[:, :k_max]
 
 
 def _precision_recall_from_topk(top_ids, targets, target_mask, k_values):
@@ -846,8 +866,9 @@ def precision_recall_score(model, test, train=None, k=10, batch_size=None,
     ----------
     k : int or array of int
     batch_size : int, optional
-        Users scored per device step (default: 1024 on the streaming
-        top-k kernel path, 256 on the materialize path).
+        Users scored per device step (default: derived from the
+        scoped-VMEM model — 2048 for dot-product representations, 1024
+        for mixture-of-tastes; 256 on the materialize path).
     streaming : bool, optional
         Use the fused streaming top-k kernel (default: on TPU backends when
         no train mask is needed and the model exposes dot-product factors).
@@ -912,11 +933,12 @@ def precision_recall_score(model, test, train=None, k=10, batch_size=None,
         if streaming is False or not _is_runtime_error(error):
             raise
         _note_fallback('precision_recall_score readback', error)
-        # An explicit caller batch_size is kept; None re-resolves to the
-        # materialize default.
-        return precision_recall_score(model, test, train=train, k=k,
-                                      batch_size=user_batch_size,
-                                      streaming=False)
+        # A materialize-safe explicit batch is kept; larger/unset
+        # re-resolve to the materialize default (_fallback_batch_size).
+        return precision_recall_score(
+            model, test, train=train, k=k,
+            batch_size=_fallback_batch_size(user_batch_size),
+            streaming=False)
     if scalar_k:
         return precision[:, 0], recall[:, 0]
     return precision, recall
@@ -931,8 +953,9 @@ def sequence_precision_recall_score(model, test, k=10,
     Parameters
     ----------
     batch_size : int, optional
-        Sequences scored per device step (default: 1024 on the streaming
-        top-k kernel path, 256 on the materialize path).
+        Sequences scored per device step (default: derived from the
+        scoped-VMEM model — 2048 for dot-product representations, 1024
+        for mixture-of-tastes; 256 on the materialize path).
 
     Returns
     -------
@@ -983,11 +1006,12 @@ def sequence_precision_recall_score(model, test, k=10,
         if streaming is False or not _is_runtime_error(error):
             raise
         _note_fallback('sequence_precision_recall_score readback', error)
-        # An explicit caller batch_size is kept; None re-resolves to the
-        # materialize default.
+        # A materialize-safe explicit batch is kept; larger/unset
+        # re-resolve to the materialize default (_fallback_batch_size).
         return sequence_precision_recall_score(
             model, test, k=k, exclude_preceding=exclude_preceding,
-            batch_size=user_batch_size, streaming=False)
+            batch_size=_fallback_batch_size(user_batch_size),
+            streaming=False)
 
 
 def rmse_score(model, test):

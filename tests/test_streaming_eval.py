@@ -667,14 +667,19 @@ def test_streaming_batch_caps_chunk_oversized_batches(
     p_std, r_std = precision_recall_score(model, test, train=train,
                                           streaming=False)
 
-    # Force tiny caps so the single eval batch exceeds them.
+    # Force tiny caps AND an explicit larger batch so each metric batch
+    # genuinely splits into multiple chunks (batch 64 / cap 16 = 4
+    # chunks; auto batch would also shrink to the patched cap and leave
+    # the multi-part concatenate untested).
     monkeypatch.setattr(evaluation, '_streaming_batch_cap',
                         lambda mixture, kind: 16)
     with warnings.catch_warnings():
         warnings.simplefilter('error')  # any fallback warning fails
-        streamed = mrr_score(model, test, train=train, streaming=True)
+        streamed = mrr_score(model, test, train=train, streaming=True,
+                             batch_size=64)
         p_str, r_str = precision_recall_score(model, test, train=train,
-                                              streaming=True)
+                                              streaming=True,
+                                              batch_size=64)
     np.testing.assert_allclose(streamed, standard, rtol=1e-4, atol=1e-6)
     np.testing.assert_array_equal(p_str, p_std)
     np.testing.assert_array_equal(r_str, r_std)
@@ -708,3 +713,45 @@ def test_streaming_topk_tie_heavy_exact():
         assert np.array_equal(np.asarray(ids), np.asarray(ref_i)), k
         np.testing.assert_allclose(np.asarray(s), np.asarray(ref_s),
                                    atol=1e-5)
+
+
+def test_streaming_batch_caps_chunk_on_mesh(monkeypatch):
+    """The VMEM cap chunks oversized batches on the mesh path too (the
+    sharded branches previously bypassed it)."""
+    import warnings
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip('needs 8 virtual devices')
+
+    import spotlight_tpu.evaluation as evaluation
+    from spotlight_tpu.evaluation import precision_recall_score
+    from spotlight_tpu.parallel import make_mesh
+
+    interactions = factorization_dataset(
+        num_users=120, num_items=90, num_interactions=4000)
+    train, test = random_train_test_split(
+        interactions, random_state=np.random.RandomState(0))
+    model = ImplicitFactorizationModel(
+        loss='bpr', n_iter=2, batch_size=512,
+        mesh=make_mesh(data=2, model=4),
+        random_state=np.random.RandomState(42))
+    model.fit(train)
+
+    standard = mrr_score(model, test, train=train, streaming=False)
+    p_std, r_std = precision_recall_score(model, test, train=train, k=10,
+                                          streaming=False)
+
+    monkeypatch.setattr(evaluation, '_streaming_batch_cap',
+                        lambda mixture, kind: 16)
+    with warnings.catch_warnings():
+        warnings.simplefilter('error')
+        streamed = mrr_score(model, test, train=train, streaming=True,
+                             batch_size=64)
+        p_str, r_str = precision_recall_score(model, test, train=train,
+                                              k=10, streaming=True,
+                                              batch_size=64)
+    np.testing.assert_allclose(streamed, standard, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(p_str, p_std, rtol=1e-6)
+    np.testing.assert_allclose(r_str, r_std, rtol=1e-6)
