@@ -330,7 +330,7 @@ def bench_rank_kernel():
         return rank_counts(users, items, bias, ts, tids, tile_items=2048)
 
     _readback(kernel_path(users, items, bias, tids)[0])
-    reps = 5 if QUICK else 20
+    reps = 5 if QUICK else 30
     start = time.perf_counter()
     for _ in range(reps):
         out = kernel_path(users, items, bias, tids)
@@ -424,7 +424,7 @@ def bench_topk_kernel():
         fn = jax.jit(lambda u, i, b, k=k: streaming_topk(u, i, b, k,
                                                          tile_items=2048))
         _readback(fn(users, items, bias)[1])
-        reps = 5 if QUICK else 20
+        reps = 5 if QUICK else 30
         start = time.perf_counter()
         for _ in range(reps):
             out = fn(users, items, bias)
@@ -442,7 +442,7 @@ def bench_topk_kernel():
     for k in (10, 128):
         fn = jax.jit(lambda u, i, b, k=k: streaming_topk(u, i, b, k))
         _readback(fn(users_w, items_w, bias_w)[1])
-        reps = 5 if QUICK else 20
+        reps = 5 if QUICK else 30
         start = time.perf_counter()
         for _ in range(reps):
             out = fn(users_w, items_w, bias_w)

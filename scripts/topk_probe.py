@@ -61,8 +61,10 @@ def main():
             s, ids = np.asarray(s), np.asarray(ids)
             ref_s, ref_i = jax.lax.top_k(jnp.asarray(scores_full), k)
             ok_i = np.array_equal(ids, np.asarray(ref_i))
-            ok_s = np.array_equal(s, np.asarray(ref_s))
-            print('B={} N={} k={}: ids_exact={} scores_exact={}'.format(
+            # Scores may differ from the one-shot XLA matmul by ~1 ulp
+            # of accumulation order (see the tie-heavy exactness test).
+            ok_s = np.allclose(s, np.asarray(ref_s), atol=1e-5)
+            print('B={} N={} k={}: ids_exact={} scores_close={}'.format(
                 B, N, k, ok_i, ok_s), flush=True)
             assert ok_i and ok_s
 

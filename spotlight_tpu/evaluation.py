@@ -117,6 +117,35 @@ def _streaming_batch_cap(mixture, kind):
     return max(128, (1 << 21) // (2 * mixture * floor))
 
 
+def _pad_catalog_for_shards(mesh, item_matrix, item_bias):
+    """Pad the catalog to a model-shard multiple with rows that can never
+    outrank a real item (zero vectors, -FLOAT_MAX bias).  Shared by the
+    mesh MRR and top-k paths; callers chunking a user batch call it once,
+    outside the chunk loop."""
+    shards = mesh.shape['model']
+    pad = -item_matrix.shape[0] % shards
+    if pad:
+        item_matrix = jnp.concatenate(
+            [item_matrix,
+             jnp.zeros((pad, item_matrix.shape[1]), item_matrix.dtype)])
+        item_bias = jnp.concatenate(
+            [item_bias, jnp.full((pad,), -FLOAT_MAX, item_bias.dtype)])
+    return item_matrix, item_bias
+
+
+def _compact_train_mask(top_ids, train, k_max):
+    """Drop train-masked ids from an over-fetched top list, keeping rank
+    order — the reference's FLOAT_MAX-demotion semantics
+    (`/root/reference/spotlight/evaluation.py:50`).  Shared by the
+    single-device and mesh top-k paths so their tie/demotion behavior
+    can never drift apart."""
+    masked = jnp.any(top_ids[:, :, None] == train[:, None, :], axis=2)
+    # Stable compaction: masked entries sort after unmasked ones while
+    # unmasked entries keep their rank order.
+    order = jnp.argsort(masked.astype(jnp.int32), axis=1, stable=True)
+    return jnp.take_along_axis(top_ids, order, axis=1)[:, :k_max]
+
+
 def _ranks_with_train_correction(weights, num_items, safe_targets,
                                  target_scores, valid_train, safe_train,
                                  train_scores):
@@ -273,6 +302,12 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
         target_mask = jnp.asarray(target_mask)
         train_rows = (jnp.asarray(train_rows, dtype=jnp.int32)
                       if train_rows is not None else None)
+        num_items = item_matrix.shape[0]
+        if sharded:
+            # Shard-multiple catalog padding hoisted out of the chunk
+            # loop; the helper keeps rank semantics on the REAL count.
+            item_matrix, item_bias = _pad_catalog_for_shards(
+                mesh, item_matrix, item_bias)
         parts = []
         for lo in range(0, reprs.shape[0], cap):
             hi = lo + cap
@@ -281,7 +316,8 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
                 parts.append(_streaming_ranks_sharded(
                     mesh, reprs[lo:hi], item_matrix, item_bias,
                     targets[lo:hi], target_mask[lo:hi], tr,
-                    mixture=mixture, interpret=interpret))
+                    mixture=mixture, interpret=interpret,
+                    num_items=num_items))
             else:
                 parts.append(_streaming_ranks_device(
                     reprs[lo:hi], item_matrix, item_bias, targets[lo:hi],
@@ -306,7 +342,7 @@ def _streaming_ranks(model, kind, inputs, targets, target_mask,
 
 def _streaming_ranks_sharded(mesh, reprs, item_matrix, item_bias, targets,
                              target_mask, train_rows, mixture=None,
-                             interpret=False):
+                             interpret=False, num_items=None):
     """Mesh-sharded tables: run the lean Pallas rank-weight kernel per
     shard on the resident rows and psum the weights
     (parallel/evaluation.py) instead of a single-device launch.
@@ -317,25 +353,23 @@ def _streaming_ranks_sharded(mesh, reprs, item_matrix, item_bias, targets,
     sharding), and the target's guaranteed self-tie replaces id-based
     self-exclusion.
 
+    ``num_items`` is the REAL catalog size when the caller already padded
+    the matrix to a shard multiple (`_pad_catalog_for_shards` — callers
+    chunking a batch hoist the padding out of the chunk loop); the rank
+    semantics (target clipping, the masked-rank formula) must use the
+    real count, never the padded one.
+
     The user batch additionally shards over the ``'data'`` axis (padded
     to a multiple here, sliced back after): data replicas split the
     scoring work instead of repeating it."""
     from spotlight_tpu.parallel.evaluation import (sharded_candidate_scores,
                                                    sharded_rank_weights)
 
-    num_items = item_matrix.shape[0]
+    if num_items is None:
+        num_items = item_matrix.shape[0]
+        item_matrix, item_bias = _pad_catalog_for_shards(
+            mesh, item_matrix, item_bias)
     safe_targets = jnp.clip(targets, 0, num_items - 1)
-
-    shards = mesh.shape['model']
-    pad = -num_items % shards
-    if pad:
-        # Pad to a shard multiple with rows that can never outrank a
-        # real item (zero vectors, -FLOAT_MAX bias).
-        item_matrix = jnp.concatenate(
-            [item_matrix,
-             jnp.zeros((pad, item_matrix.shape[1]), item_matrix.dtype)])
-        item_bias = jnp.concatenate(
-            [item_bias, jnp.full((pad,), -FLOAT_MAX, item_bias.dtype)])
 
     batch = reprs.shape[0]
     pad_b = -batch % mesh.shape.get('data', 1)
@@ -740,14 +774,8 @@ def _streaming_topk_device(reprs, item_matrix, item_bias, train_rows,
                                 score_fn=score_fn)
     if train_rows is None:
         return top_ids
-
-    train = train_rows.astype(jnp.int32)                   # (B, Tr)
-    masked = jnp.any(top_ids[:, :, None] == train[:, None, :], axis=2)
-    # Stable compaction: masked entries sort after unmasked ones while
-    # unmasked entries keep their rank order.
-    order = jnp.argsort(masked.astype(jnp.int32), axis=1, stable=True)
-    compacted = jnp.take_along_axis(top_ids, order, axis=1)
-    return compacted[:, :k_max]
+    return _compact_train_mask(top_ids, train_rows.astype(jnp.int32),
+                               k_max)
 
 
 def _streaming_topk_hits(model, kind, inputs, k_max, train_rows=None,
@@ -797,17 +825,10 @@ def _streaming_topk_hits(model, kind, inputs, k_max, train_rows=None,
                  if train_rows is not None else None)
         if sharded:
             # Mesh-sharded tables: per-shard top-k + tournament merge
-            # instead of a single-device kernel over a sharded array.
-            shards = mesh.shape['model']
-            pad = -item_matrix.shape[0] % shards
-            if pad:
-                item_matrix = jnp.concatenate(
-                    [item_matrix,
-                     jnp.zeros((pad, item_matrix.shape[1]),
-                               item_matrix.dtype)])
-                item_bias = jnp.concatenate(
-                    [item_bias, jnp.full((pad,), -FLOAT_MAX,
-                                         item_bias.dtype)])
+            # instead of a single-device kernel over a sharded array
+            # (shard-multiple padding hoisted out of the chunk loop).
+            item_matrix, item_bias = _pad_catalog_for_shards(
+                mesh, item_matrix, item_bias)
         parts = []
         for lo in range(0, reprs.shape[0], cap):
             hi = lo + cap
@@ -840,9 +861,7 @@ def _sharded_topk_hits(mesh, reprs, item_matrix, item_bias, train, k_max,
                               fetch, mixture=mixture, interpret=interpret)
     if train is None:
         return top_ids
-    masked = jnp.any(top_ids[:, :, None] == train[:, None, :], axis=2)
-    order = jnp.argsort(masked.astype(jnp.int32), axis=1, stable=True)
-    return jnp.take_along_axis(top_ids, order, axis=1)[:, :k_max]
+    return _compact_train_mask(top_ids, train, k_max)
 
 
 def _precision_recall_from_topk(top_ids, targets, target_mask, k_values):
