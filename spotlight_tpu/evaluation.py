@@ -477,6 +477,25 @@ def _reciprocal_ranks(scores, targets, target_mask):
     return rr.sum(axis=1) / denom
 
 
+def _trim_batch_rows(rows, pad_value=-1):
+    """Trim trailing all-pad columns to this batch's own max row width,
+    bucketed up to the next power of two (min 8) so jitted shapes stay
+    within a bounded set of compile variants.
+
+    `_padded_rows` sizes its output to the GLOBAL max row count, so
+    without this every batch pays the heaviest user's width — in the
+    rank kernels' per-target loop, the train-correction broadcast, and
+    the top-k over-fetch.  Valid entries are left-aligned by
+    construction, so trimming is a column slice.
+    """
+    if rows is None or rows.shape[1] <= 8:
+        return rows
+    counts = (rows != pad_value).sum(axis=1)
+    width = int(counts.max()) if len(counts) else 1
+    width = min(1 << max(width - 1, 7).bit_length(), rows.shape[1])
+    return rows[:, :width]
+
+
 def _batched(users_or_rows, batch_size):
     n = len(users_or_rows)
     for start in range(0, n, batch_size):
@@ -582,9 +601,11 @@ def mrr_score(model, test, train=None, batch_size=None, streaming=None):
     mrrs = []
     for start in range(0, len(users), batch_size):
         u = users[start:start + batch_size]
-        t = targets[start:start + batch_size]
-        tr = (train_rows[start:start + batch_size]
-              if train_rows is not None else None)
+        # Per-batch width trim: a single heavy user widens only its own
+        # batch, not every batch's kernel loops.
+        t = _trim_batch_rows(targets[start:start + batch_size])
+        tr = _trim_batch_rows(train_rows[start:start + batch_size]
+                              if train_rows is not None else None)
 
         if use_streaming:
             rr = _streaming_ranks(model, 'users', u, t, t >= 0,
@@ -918,9 +939,12 @@ def precision_recall_score(model, test, train=None, k=10, batch_size=None,
     precisions, recalls = [], []
     for start in range(0, len(users), batch_size):
         u = users[start:start + batch_size]
-        t = jnp.asarray(targets[start:start + batch_size])
-        tr = (train_rows[start:start + batch_size]
-              if train_rows is not None else None)
+        # Per-batch width trim (see mrr_score): the top-k over-fetch is
+        # k + this batch's train width, not the global maximum.
+        t = jnp.asarray(_trim_batch_rows(
+            targets[start:start + batch_size]))
+        tr = _trim_batch_rows(train_rows[start:start + batch_size]
+                              if train_rows is not None else None)
 
         if use_streaming:
             top_ids = _streaming_topk_hits(model, 'users', u,
@@ -935,9 +959,8 @@ def precision_recall_score(model, test, train=None, k=10, batch_size=None,
             use_streaming = False
 
         scores = jnp.asarray(_score_user_batch(model, u))
-        if train_rows is not None:
-            scores = _mask_scores(
-                scores, jnp.asarray(train_rows[start:start + batch_size]))
+        if tr is not None:
+            scores = _mask_scores(scores, jnp.asarray(tr))
         p, r = _precision_recall_from_scores(scores, t, t >= 0, k_values)
         precisions.append(p)
         recalls.append(r)

@@ -755,3 +755,46 @@ def test_streaming_batch_caps_chunk_on_mesh(monkeypatch):
     np.testing.assert_allclose(streamed, standard, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(p_str, p_std, rtol=1e-6)
     np.testing.assert_allclose(r_str, r_std, rtol=1e-6)
+
+
+def test_trim_batch_rows_unit():
+    from spotlight_tpu.evaluation import _trim_batch_rows
+
+    rows = np.full((4, 100), -1, dtype=np.int64)
+    rows[0, :3] = [5, 6, 7]
+    rows[2, :11] = np.arange(11)
+    out = _trim_batch_rows(rows)
+    assert out.shape == (4, 16)          # 11 -> next pow2, min 8
+    np.testing.assert_array_equal(out, rows[:, :16])
+    assert _trim_batch_rows(None) is None
+    small = rows[:, :8]
+    assert _trim_batch_rows(small) is small
+
+
+def test_heavy_user_widens_only_its_own_batch(fitted_factorization):
+    """A single heavy-train user inflates the over-fetch/loop width of
+    its own batch only; results are unchanged across batch splits."""
+    train, test, model = fitted_factorization
+    num_items = train.num_items
+    from spotlight_tpu.data import Interactions
+    heavy = Interactions(
+        np.concatenate([np.zeros(num_items // 2, dtype=np.int64),
+                        train.user_ids]),
+        np.concatenate([np.arange(num_items // 2, dtype=np.int64),
+                        train.item_ids]),
+        num_users=train.num_users, num_items=num_items)
+
+    standard = mrr_score(model, test, train=heavy, streaming=False)
+    # Small batches: the heavy user (id 0) lands in batch 0; later
+    # batches run at their own narrow width.
+    streamed = mrr_score(model, test, train=heavy, streaming=True,
+                         batch_size=16)
+    np.testing.assert_allclose(streamed, standard, rtol=1e-4, atol=1e-6)
+
+    from spotlight_tpu.evaluation import precision_recall_score
+    p_std, r_std = precision_recall_score(model, test, train=heavy, k=5,
+                                          streaming=False)
+    p_str, r_str = precision_recall_score(model, test, train=heavy, k=5,
+                                          streaming=True, batch_size=16)
+    np.testing.assert_allclose(p_str, p_std, rtol=1e-6)
+    np.testing.assert_allclose(r_str, r_std, rtol=1e-6)
