@@ -521,16 +521,20 @@ def _score_user_batch(model, user_batch):
     return np.stack([model.predict(int(u)) for u in user_batch])
 
 
-def _resolve_batch_size(batch_size, use_streaming, model, kind):
+def _resolve_batch_size(batch_size, use_streaming, model, kind,
+                        kernel='rank'):
     """The streaming kernels amortize per-batch costs (dispatch, the
     matched target-score pass, one catalog read per batch) over the user
     batch, so the auto default runs them as wide as the scoped-VMEM model
-    allows (:func:`_streaming_batch_cap`): 2048 users for dot-product
-    representations (measured 1.7x the former hardcoded 1024 at the
-    200K-item committed shape, docs/performance.md), 1024 for
-    mixture-of-tastes (its kernels hold 2M live component temporaries).
-    The materialize fallback keeps the reference-loop-friendly 256 (its
-    (B, N) score matrix scales with the batch)."""
+    allows for the metric's kernel (:func:`_streaming_batch_cap`,
+    ``kernel`` = 'rank' for the MRR metrics / 'topk' for precision@k):
+    2048 users for dot-product representations (measured 1.7x the former
+    hardcoded 1024 at the 200K-item committed shape, docs/
+    performance.md), and for mixture-of-tastes 2048 on the rank kernel
+    (measured 1.39x the former 1024) but 1024 on top-k (its 256-row
+    floor tile caps the batch lower).  The materialize fallback keeps
+    the reference-loop-friendly 256 (its (B, N) score matrix scales with
+    the batch)."""
     if batch_size is not None:
         return batch_size
     # The wide default applies only when the model can ACTUALLY stream:
@@ -543,8 +547,7 @@ def _resolve_batch_size(batch_size, use_streaming, model, kind):
             and getattr(model, '_rank_factors_jit', None) is not None):
         mixture = getattr(getattr(model, '_net', None), 'num_mixtures',
                           None)
-        return min(2048, _streaming_batch_cap(mixture, 'rank'),
-                   _streaming_batch_cap(mixture, 'topk'))
+        return min(2048, _streaming_batch_cap(mixture, kernel))
     return 256
 
 
@@ -934,7 +937,7 @@ def precision_recall_score(model, test, train=None, k=10, batch_size=None,
     interpret = bool(use_streaming) and jax.default_backend() == 'cpu'
     user_batch_size = batch_size
     batch_size = _resolve_batch_size(batch_size, use_streaming, model,
-                                     'users')
+                                     'users', kernel='topk')
 
     precisions, recalls = [], []
     for start in range(0, len(users), batch_size):
@@ -1011,7 +1014,7 @@ def sequence_precision_recall_score(model, test, k=10,
     interpret = bool(use_streaming) and jax.default_backend() == 'cpu'
     user_batch_size = batch_size
     batch_size = _resolve_batch_size(batch_size, use_streaming, model,
-                                     'sequences')
+                                     'sequences', kernel='topk')
 
     precisions, recalls = [], []
     for start in range(0, len(sequences), batch_size):

@@ -646,8 +646,12 @@ def test_resolve_batch_size_vmem_derived(fitted_factorization,
     _, _, model = fitted_factorization
     _, mixture_model = fitted_mixture
     assert _resolve_batch_size(None, True, model, 'users') == 2048
-    assert _resolve_batch_size(None, True, mixture_model,
-                               'sequences') == 1024
+    # Mixture: the rank kernel (128-row floor tile) allows 2048
+    # (measured 1.39x the former 1024); top-k's 256-row floor caps 1024.
+    assert _resolve_batch_size(None, True, mixture_model, 'sequences',
+                               kernel='rank') == 2048
+    assert _resolve_batch_size(None, True, mixture_model, 'sequences',
+                               kernel='topk') == 1024
     assert _resolve_batch_size(None, False, model, 'users') == 256
     # An explicit caller batch size is always respected.
     assert _resolve_batch_size(640, True, model, 'users') == 640
