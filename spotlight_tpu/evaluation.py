@@ -88,9 +88,15 @@ def _auto_tile(batch, mixture=None):
     tile (M tastes + M attentions plus the softmax combine), so its tile
     shrinks by 2M — without this, M=4 at the 1024-user default batch
     exceeds the 16 MB scoped-vmem limit and the whole evaluation falls
-    back to the materialize path (measured 60x slower end-to-end)."""
+    back to the materialize path (measured 60x slower end-to-end).
+
+    Rounded down to a sublane multiple: Mosaic requires block rows
+    divisible by 8, and a ragged batch (e.g. a 1568-user final batch of
+    a 20K eval) would otherwise produce a tile like 668 and trip the
+    loud fallback on the real TPU (caught by the at-scale probe)."""
     budget = (1 << 20) // max(1, 2 * mixture) if mixture else (1 << 20)
-    return max(128 if mixture else 256, min(4096, budget // max(batch, 1)))
+    tile = min(4096, budget // max(batch, 1)) // 8 * 8
+    return max(128 if mixture else 256, tile)
 
 
 def _mixture_topk_tile(batch, mixture):
@@ -609,12 +615,22 @@ def mrr_score(model, test, train=None, batch_size=None, streaming=None):
         t = _trim_batch_rows(targets[start:start + batch_size])
         tr = _trim_batch_rows(train_rows[start:start + batch_size]
                               if train_rows is not None else None)
+        # A ragged final batch pads back to the compiled batch width so
+        # the executables are reused and kernel tiles keep their tuned
+        # shapes (a 1568-wide leftover once produced a 668-row tile);
+        # padded rows are sliced off the per-batch result.
+        n = len(u)
+        if n < batch_size and len(users) > batch_size:
+            u, _ = _pad_batch(u, batch_size)
+            t, _ = _pad_batch(t, batch_size)
+            if tr is not None:
+                tr, _ = _pad_batch(tr, batch_size)
 
         if use_streaming:
             rr = _streaming_ranks(model, 'users', u, t, t >= 0,
                                   train_rows=tr, interpret=interpret)
             if rr is not None:
-                mrrs.append(rr)
+                mrrs.append(rr[:n])
                 continue
             use_streaming = False  # model can't factorize; stop retrying
 
@@ -623,7 +639,7 @@ def mrr_score(model, test, train=None, batch_size=None, streaming=None):
             scores = _mask_scores(scores, jnp.asarray(tr))
         rr = _reciprocal_ranks(scores, jnp.asarray(t),
                                jnp.asarray(t) >= 0)
-        mrrs.append(rr)
+        mrrs.append(rr[:n])
 
     # Single readback wave: device batches overlapped above.  An
     # execution-time kernel failure surfaces here (dispatch is async);
@@ -718,6 +734,12 @@ def sequence_mrr_score(model, test, exclude_preceding=False, batch_size=None,
     for start in range(0, len(sequences), batch_size):
         prefix = sequences[start:start + batch_size]
         t = targets[start:start + batch_size]
+        # Ragged final batch: pad back to the compiled width (see
+        # mrr_score); per-batch results sliced to the real count.
+        n = len(prefix)
+        if n < batch_size and len(sequences) > batch_size:
+            prefix, _ = _pad_batch(prefix, batch_size)
+            t, _ = _pad_batch(t, batch_size)
 
         if use_streaming:
             masked_rows = (_dedup_rows(prefix.astype(np.int64))
@@ -727,7 +749,7 @@ def sequence_mrr_score(model, test, exclude_preceding=False, batch_size=None,
                 np.ones_like(t, dtype=bool), train_rows=masked_rows,
                 interpret=interpret)
             if rr is not None:
-                mrrs.append(rr)
+                mrrs.append(rr[:n])
                 continue
             use_streaming = False
 
@@ -735,7 +757,7 @@ def sequence_mrr_score(model, test, exclude_preceding=False, batch_size=None,
         rr = _reciprocal_ranks(jnp.asarray(scores),
                                jnp.asarray(t.astype(np.int64)),
                                jnp.ones_like(t, dtype=bool))
-        mrrs.append(rr)
+        mrrs.append(rr[:n])
 
     # Single readback wave (see mrr_score for the failure contract).
     try:
@@ -944,10 +966,18 @@ def precision_recall_score(model, test, train=None, k=10, batch_size=None,
         u = users[start:start + batch_size]
         # Per-batch width trim (see mrr_score): the top-k over-fetch is
         # k + this batch's train width, not the global maximum.
-        t = jnp.asarray(_trim_batch_rows(
-            targets[start:start + batch_size]))
+        t_host = _trim_batch_rows(targets[start:start + batch_size])
         tr = _trim_batch_rows(train_rows[start:start + batch_size]
                               if train_rows is not None else None)
+        # Ragged final batch: pad back to the compiled width (see
+        # mrr_score); per-batch results sliced to the real count.
+        n = len(u)
+        if n < batch_size and len(users) > batch_size:
+            u, _ = _pad_batch(u, batch_size)
+            t_host, _ = _pad_batch(t_host, batch_size)
+            if tr is not None:
+                tr, _ = _pad_batch(tr, batch_size)
+        t = jnp.asarray(t_host)
 
         if use_streaming:
             top_ids = _streaming_topk_hits(model, 'users', u,
@@ -956,8 +986,8 @@ def precision_recall_score(model, test, train=None, k=10, batch_size=None,
             if top_ids is not None:
                 p, r = _precision_recall_from_topk(top_ids, t, t >= 0,
                                                    k_values)
-                precisions.append(p)
-                recalls.append(r)
+                precisions.append(p[:n])
+                recalls.append(r[:n])
                 continue
             use_streaming = False
 
@@ -965,8 +995,8 @@ def precision_recall_score(model, test, train=None, k=10, batch_size=None,
         if tr is not None:
             scores = _mask_scores(scores, jnp.asarray(tr))
         p, r = _precision_recall_from_scores(scores, t, t >= 0, k_values)
-        precisions.append(p)
-        recalls.append(r)
+        precisions.append(p[:n])
+        recalls.append(r[:n])
 
     # Single readback wave (see mrr_score for the failure contract).
     try:
@@ -1019,7 +1049,14 @@ def sequence_precision_recall_score(model, test, k=10,
     precisions, recalls = [], []
     for start in range(0, len(sequences), batch_size):
         prefix = sequences[start:start + batch_size]
-        t = jnp.asarray(targets[start:start + batch_size].astype(np.int64))
+        t_host = targets[start:start + batch_size].astype(np.int64)
+        # Ragged final batch: pad back to the compiled width (see
+        # mrr_score); per-batch results sliced to the real count.
+        n = len(prefix)
+        if n < batch_size and len(sequences) > batch_size:
+            prefix, _ = _pad_batch(prefix, batch_size)
+            t_host, _ = _pad_batch(t_host, batch_size)
+        t = jnp.asarray(t_host)
 
         if use_streaming:
             masked_rows = (_dedup_rows(prefix.astype(np.int64))
@@ -1030,16 +1067,16 @@ def sequence_precision_recall_score(model, test, k=10,
             if top_ids is not None:
                 p, r = _precision_recall_from_topk(
                     top_ids, t, jnp.ones_like(t, dtype=bool), (k,))
-                precisions.append(p[:, 0])
-                recalls.append(r[:, 0])
+                precisions.append(p[:n, 0])
+                recalls.append(r[:n, 0])
                 continue
             use_streaming = False
 
         scores = _sequence_final_scores(model, prefix, exclude_preceding)
         p, r = _precision_recall_from_scores(
             jnp.asarray(scores), t, jnp.ones_like(t, dtype=bool), (k,))
-        precisions.append(p[:, 0])
-        recalls.append(r[:, 0])
+        precisions.append(p[:n, 0])
+        recalls.append(r[:n, 0])
 
     # Single readback wave (see mrr_score for the failure contract).
     try:

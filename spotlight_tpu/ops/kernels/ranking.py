@@ -165,8 +165,10 @@ def _auto_tile_items(batch, budget=1 << 20):
     holds ~5 live (TILE, B) temporaries per target iteration (scores,
     iota, countable, two where-masks) vs rank_weights' ~2, so it uses a
     quarter budget — B=1024 at tile 512 was measured to exceed the 16 MB
-    scoped-vmem limit by 6 MB."""
-    return max(256, min(4096, budget // max(batch, 1)))
+    scoped-vmem limit by 6 MB.  Rounded down to a sublane multiple:
+    Mosaic requires block rows divisible by 8, and ragged batch widths
+    would otherwise produce tiles like 668."""
+    return max(256, min(4096, budget // max(batch, 1)) // 8 * 8)
 
 
 def rank_weights(user_reprs, item_matrix, item_bias, target_scores,

@@ -802,3 +802,55 @@ def test_heavy_user_widens_only_its_own_batch(fitted_factorization):
                                           streaming=True, batch_size=16)
     np.testing.assert_allclose(p_str, p_std, rtol=1e-6)
     np.testing.assert_allclose(r_str, r_std, rtol=1e-6)
+
+
+def test_auto_tiles_are_sublane_multiples():
+    """Ragged batch widths must still produce Mosaic-legal tiles (block
+    rows divisible by 8): a 1568-user final batch of a 20K eval once
+    produced a 668-row tile and tripped the loud fallback on TPU."""
+    from spotlight_tpu.evaluation import _auto_tile, _mixture_topk_tile
+    from spotlight_tpu.ops.kernels.ranking import _auto_tile_items
+
+    for batch in (7, 130, 943, 1568, 2048, 3000):
+        for mixture in (None, 2, 4):
+            assert _auto_tile(batch, mixture) % 8 == 0, (batch, mixture)
+            if mixture:
+                assert _mixture_topk_tile(batch, mixture) % 8 == 0
+        assert _auto_tile_items(batch) % 8 == 0, batch
+        assert _auto_tile_items(batch, budget=1 << 18) % 8 == 0, batch
+
+
+def test_ragged_final_batch_pads_to_compiled_width(fitted_factorization,
+                                                   fitted_sequence):
+    """Multi-batch evaluations pad the ragged final batch back to the
+    compiled batch width (executable reuse, tuned tile shapes); results
+    match the materialize path exactly."""
+    from spotlight_tpu.evaluation import precision_recall_score
+
+    train, test, model = fitted_factorization
+    # batch_size=32 over ~100+ users: several full batches + a ragged one.
+    standard = mrr_score(model, test, train=train, streaming=False)
+    streamed = mrr_score(model, test, train=train, streaming=True,
+                         batch_size=32)
+    np.testing.assert_allclose(streamed, standard, rtol=1e-4, atol=1e-6)
+
+    p_std, r_std = precision_recall_score(model, test, train=train, k=5,
+                                          streaming=False)
+    p_str, r_str = precision_recall_score(model, test, train=train, k=5,
+                                          streaming=True, batch_size=32)
+    np.testing.assert_allclose(p_str, p_std, rtol=1e-6)
+    np.testing.assert_allclose(r_str, r_std, rtol=1e-6)
+
+    _, seq_test, seq_model = fitted_sequence
+    s_std = sequence_mrr_score(seq_model, seq_test, streaming=False)
+    s_str = sequence_mrr_score(seq_model, seq_test, streaming=True,
+                               batch_size=32)
+    np.testing.assert_allclose(s_str, s_std, rtol=1e-4, atol=1e-6)
+
+    from spotlight_tpu.evaluation import sequence_precision_recall_score
+    sp_std, sr_std = sequence_precision_recall_score(
+        seq_model, seq_test, k=4, streaming=False)
+    sp_str, sr_str = sequence_precision_recall_score(
+        seq_model, seq_test, k=4, streaming=True, batch_size=32)
+    np.testing.assert_allclose(sp_str, sp_std, rtol=1e-6)
+    np.testing.assert_allclose(sr_str, sr_std, rtol=1e-6)
