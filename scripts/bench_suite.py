@@ -311,6 +311,47 @@ def bench_large_catalog_eval():
                 'heavy user'.format(eval_users))
 
 
+def bench_at_scale_eval():
+    """Streaming MRR at realistic eval size: 20K users x 200K items —
+    10 batches at the VMEM-derived 2048 default, where per-batch
+    dispatches pipeline and the per-evaluation fixed costs amortize
+    (this shape also regression-guards the ragged-final-batch fix: the
+    1568-user leftover once produced a non-sublane-divisible tile)."""
+    from spotlight_tpu.data import Interactions
+    from spotlight_tpu.evaluation import FALLBACK_COUNTS, mrr_score
+    from spotlight_tpu.factorization import ImplicitFactorizationModel
+
+    rs = np.random.RandomState(7)
+    num_users, num_items = 50_000, 200_000
+    n = 100_000 if QUICK else 500_000
+    train = Interactions(
+        rs.randint(0, num_users, n).astype(np.int64),
+        rs.randint(0, num_items, n).astype(np.int64),
+        num_users=num_users, num_items=num_items)
+    model = ImplicitFactorizationModel(
+        loss='bpr', embedding_dim=64, n_iter=1, batch_size=8192,
+        random_state=np.random.RandomState(42))
+    model.fit(train)
+
+    eval_users = 5_000 if QUICK else 20_000
+    test = Interactions(
+        np.repeat(np.arange(eval_users, dtype=np.int64), 4),
+        rs.randint(0, num_items, 4 * eval_users).astype(np.int64),
+        num_users=num_users, num_items=num_items)
+    before = sum(FALLBACK_COUNTS.values())
+    mrr_score(model, test)               # warm-up + compile
+    start = time.perf_counter()
+    out = mrr_score(model, test)
+    _readback(out)
+    elapsed = time.perf_counter() - start
+    assert sum(FALLBACK_COUNTS.values()) == before, dict(FALLBACK_COUNTS)
+    emit('mrr_at_scale', eval_users * num_items / elapsed / 1e9,
+         'G item-ranks/s', users_per_s=round(eval_users / elapsed),
+         config='{} users x 200K items, streaming MRR, pure '
+                'defaults'.format(eval_users))
+    del model
+
+
 def bench_rank_kernel():
     import jax
     import jax.numpy as jnp
@@ -475,6 +516,7 @@ def main():
     bench_sequence()
     bench_sequence_large_catalog()
     bench_large_catalog_eval()
+    bench_at_scale_eval()
     bench_rank_kernel()
     bench_topk_kernel()
 
